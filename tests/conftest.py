@@ -1,0 +1,18 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU required) so that the
+multi-chip sharding paths are exercised in CI, per SURVEY.md §4. The env
+vars must be set before JAX is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
