@@ -1,0 +1,223 @@
+"""Batched and mesh-sharded BLS verification (the throughput workload).
+
+Three tiers, matching the driver benchmark configs (BASELINE.md):
+
+1. `verify_batch_independent` — N independent (H(m), sig, pk) tuples on
+   one chip: each tuple is its own 2-pair product check with its own
+   final exponentiation (vmap-style via the pair axis + batch axis).
+2. `verify_batch_fused` — N tuples fused into ONE pairing-product check
+   with random linear-combination weights (soundness per SURVEY.md §3.2
+   note): prod_i e([w_i]H_i, pk_i) * e(-sum_i [w_i]sig_i, G2) == 1,
+   a single shared final exponentiation.
+3. `make_sharded_verifier` — tier 2 sharded over a `jax.sharding.Mesh`
+   batch axis with shard-local Miller loops + tree product, a cross-chip
+   Fq12-product all-reduce over ICI/DCN, and one replicated final exp.
+
+The reference has no batching beyond its sequential 2-pair loop
+(ecdsa.rs:49-64); this module is the TPU-native scaling design the
+survey's §7 step 5-6 calls for.
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..constants import NLIMBS
+from ..curve import g1 as DG1
+from ..curve import jacobian as J
+from ..fields import limbs as L
+from ..fields import tower as T
+from ..host import curve as HC
+from ..pairing import final_exp as FE
+from ..pairing import miller as M
+from ..pairing import pairing as DP
+from ..utils import convert as CV
+from . import collectives as COLL
+
+
+def _neg_g2_one(batch_shape):
+    return CV.g2_const_affine(HC.g2_neg(HC.G2_ONE), batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: independent batch verification (one chip, vmapped)
+# ---------------------------------------------------------------------------
+
+
+def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
+    """N independent verifies -> bool (B,).
+
+    hx/hy: hash points H(m_i) (16, B); sx/sy: signatures (16, B);
+    pqx/pqy: public keys (tower.Fq2 with (16, B) components).
+    Each tuple checks e(H, pk) * e(sig, -G2::one) == 1 with its own
+    final exponentiation (exact per-tuple accept/reject semantics,
+    matching reference `verify` one-by-one).
+    """
+    B = hx.shape[-1]
+    # pair axis in front of the batch axis: (16, 2, B)
+    px = jnp.stack([hx, sx], axis=1)
+    py = jnp.stack([hy, sy], axis=1)
+    ngx, ngy = _neg_g2_one((B,))
+
+    def stack2(a: T.Fq2, b: T.Fq2) -> T.Fq2:
+        return T.Fq2(
+            jnp.stack([a.c0, jnp.broadcast_to(b.c0, a.c0.shape)], axis=1),
+            jnp.stack([a.c1, jnp.broadcast_to(b.c1, a.c1.shape)], axis=1),
+        )
+
+    qx = stack2(pqx, ngx)
+    qy = stack2(pqy, ngy)
+    return DP.pairing_check(px, py, qx, qy)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: fused batch verification (random linear combination, one final exp)
+# ---------------------------------------------------------------------------
+
+
+def random_weights(n: int, bits: int = 128):
+    """Host-side random combination weights (first fixed to 1)."""
+    return [1] + [secrets.randbits(bits) | 1 for _ in range(n - 1)]
+
+
+def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
+    """Fused check: prod_i e([w_i]H_i, pk_i) * e(S, -G2) == 1 where
+    S = sum_i [w_i]sig_i. Returns a scalar bool.
+
+    weights: (16, B) canonical limb tensor of the combination scalars.
+    One shared final exponentiation for the whole batch.
+    """
+    # [w_i]H_i and [w_i]sig_i (batched fixed ladders)
+    h_j = J.JPoint(hx, hy, L.mont_one(hx.shape[1:]))
+    s_j = J.JPoint(sx, sy, L.mont_one(sx.shape[1:]))
+    wh = DG1.scalar_mul(h_j, weights)
+    ws = DG1.scalar_mul(s_j, weights)
+
+    # S = sum_i [w_i]sig_i via tree reduction on the batch axis
+    s_sum = _g1_tree_sum(ws)
+
+    # affine-ise the weighted hash points and the signature sum together
+    whx, why, _ = DG1.to_affine(wh)
+    ssx, ssy, _ = DG1.to_affine(s_sum)
+
+    f = M.miller_loop(whx, why, pqx, pqy)
+    f_red = DP.fq12_reduce_mul(f, axis=0)
+
+    ngx, ngy = _neg_g2_one(())
+    f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
+
+    total = T.fq12_mul(f_red, f_sig)
+    return T.fq12_is_one(FE.final_exp(total))
+
+
+def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
+    """Tree-sum a batched Jacobian G1 point along a batch axis."""
+    taxis = axis + 1
+
+    def take(x, sl):
+        idx = (slice(None),) * taxis + (sl,)
+        return x[idx]
+
+    n = p.x.shape[taxis]
+    while n > 1:
+        half = n // 2
+        lo = jax.tree_util.tree_map(lambda x: take(x, slice(0, half)), p)
+        hi = jax.tree_util.tree_map(lambda x: take(x, slice(half, 2 * half)), p)
+        s = DG1.add(lo, hi)
+        if n % 2:
+            rest = jax.tree_util.tree_map(lambda x: take(x, slice(2 * half, n)), p)
+            s = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=taxis), s, rest
+            )
+            n = half + 1
+        else:
+            n = half
+        p = s
+    return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, axis=taxis), p)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: mesh-sharded fused verification
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
+    """Build a jitted SPMD fused verifier over `mesh`'s `axis_name` axis.
+
+    Fully sharded pipeline (everything inside shard_map, per shard):
+      1. weight application: [w_i]H_i and [w_i]sig_i (local fixed ladders)
+      2. local Miller loops over the shard's tuples
+      3. shard-local Fq12 tree product
+      4. cross-chip Fq12 product all-reduce over ICI/DCN
+      5. weighted-signature sum: local tree sum + Jacobian-add all-reduce
+      6. the final 2nd pair e(S, -G2::one) + ONE final exponentiation,
+         executed redundantly on every chip (cheaper than a broadcast).
+
+    Returns (jitted_fn, in_shardings_applier): call with full-batch device
+    tensors whose trailing batch dim divides the axis size.
+    """
+    n_dev = mesh.shape[axis_name]
+
+    def shard_fn(hx, hy, sx, sy, pq0, pq1, qy0, qy1, w):
+        pqx = T.Fq2(pq0, pq1)
+        pqy = T.Fq2(qy0, qy1)
+        bs = hx.shape[1:]
+
+        # 1. apply random weights to H and sig (local batch)
+        h_j = J.JPoint(hx, hy, L.mont_one(bs))
+        s_j = J.JPoint(sx, sy, L.mont_one(bs))
+        wh = DG1.scalar_mul(h_j, w)
+        ws = DG1.scalar_mul(s_j, w)
+        whx, why, _ = DG1.to_affine(wh)
+
+        # 2-4. Miller + local product + cross-chip product reduce
+        f = M.miller_loop(whx, why, pqx, pqy)
+        f_local = DP.fq12_reduce_mul(f, axis=0)
+        f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
+
+        # 5. weighted signature sum across the whole batch
+        s_local = _g1_tree_sum(ws)
+        s_all = COLL.jacobian_allreduce_add(
+            s_local, DG1.add, axis_name, n_dev
+        )
+        ssx, ssy, _ = DG1.to_affine(s_all)
+
+        # 6. second pair + shared final exponentiation
+        ngx, ngy = _neg_g2_one(())
+        f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
+        ok = T.fq12_is_one(FE.final_exp(T.fq12_mul(f_all, f_sig)))
+        return ok
+
+    batch_spec = PSpec(None, axis_name)  # (16, B): shard the batch dim
+    rep = PSpec()
+
+    sharded = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(batch_spec,) * 9,
+            out_specs=rep,
+            check_vma=False,
+        )
+    )
+
+    def run(hx, hy, sx, sy, pqx, pqy, weights):
+        """Tensors: (16, B) / Fq2 of (16, B); weights: (16, B) limb tensor
+        or a list of ints. Returns a scalar bool (replicated)."""
+        B = hx.shape[-1]
+        assert B % n_dev == 0, "batch must divide the mesh axis size"
+        w = (
+            weights
+            if isinstance(weights, jnp.ndarray)
+            else CV.scalars_to_device(weights)
+        )
+        return sharded(
+            hx, hy, sx, sy, pqx.c0, pqx.c1, pqy.c0, pqy.c1, w
+        )
+
+    return run

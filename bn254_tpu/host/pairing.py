@@ -108,6 +108,44 @@ def final_exponentiation(f):
     return F.fq12_pow(f, FINAL_EXP)
 
 
+def structured_final_exp(f):
+    """Easy part (p^6-1)(p^2+1) then the Devegili-style hard-part chain.
+
+    Verified equal to the generic pow by tests (the final-exp exponent is
+    canonical, so any correct algorithm agrees bit-for-bit). This is the
+    structure the device pipeline uses; kept on the host as the faster
+    host path and as the porting reference.
+    """
+    from ..constants import U
+
+    def exp_u(x):
+        return F.fq12_pow(x, U)
+
+    # easy part
+    f = F.fq12_mul(F.fq12_conj(f), F.fq12_inv(f))  # f^(p^6 - 1)
+    f = F.fq12_mul(F.fq12_frob(f, 2), f)  # ^(p^2 + 1)
+
+    # hard part (p^4 - p^2 + 1)/r
+    ft1 = exp_u(f)
+    ft2 = exp_u(ft1)
+    ft3 = exp_u(ft2)
+    fp1 = F.fq12_frob(f, 1)
+    fp2 = F.fq12_frob(f, 2)
+    fp3 = F.fq12_frob(f, 3)
+    y0 = F.fq12_mul(F.fq12_mul(fp1, fp2), fp3)
+    y1 = F.fq12_conj(f)
+    y2 = F.fq12_frob(ft2, 2)
+    y3 = F.fq12_conj(F.fq12_frob(ft1, 1))
+    y4 = F.fq12_conj(F.fq12_mul(ft1, F.fq12_frob(ft2, 1)))
+    y5 = F.fq12_conj(ft2)
+    y6 = F.fq12_conj(F.fq12_mul(ft3, F.fq12_frob(ft3, 1)))
+    t0 = F.fq12_mul(F.fq12_mul(F.fq12_sq(y6), y4), y5)
+    t1 = F.fq12_mul(F.fq12_mul(y3, y5), t0)
+    t0 = F.fq12_mul(t0, y2)
+    t1 = F.fq12_sq(F.fq12_mul(F.fq12_sq(t1), t0))
+    return F.fq12_mul(F.fq12_mul(t1, y0), F.fq12_sq(F.fq12_mul(t1, y1)))
+
+
 def pairing(g1_jac, g2_jac):
     """Full pairing e(P, Q) for Jacobian G1/G2 inputs."""
     p_aff = g1_to_affine(g1_jac)

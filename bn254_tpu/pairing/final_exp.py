@@ -1,0 +1,62 @@
+"""Device (TPU) final exponentiation f^((p^12-1)/r) for BN254.
+
+Easy part (p^6-1)(p^2+1) followed by the Devegili-style hard-part chain
+(validated bit-for-bit against the canonical generic pow by the host
+oracle's `structured_final_exp`; the final-exp exponent is canonical so
+all correct algorithms agree).
+
+u-exponentiations run as `lax.scan`s over the fixed 63-bit pattern of
+u = 4965661367192848881 with a masked multiply — constant schedule,
+branch-free, batched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import U
+from ..fields import tower as T
+
+Fq12 = T.Fq12
+
+_U_BITS = [int(b) for b in bin(U)[2:]][1:]  # MSB consumed by init
+
+
+def exp_u(f: Fq12) -> Fq12:
+    """f^u by square-and-multiply over the fixed bits of u."""
+    bits = jnp.array(_U_BITS, dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = T.fq12_sq(acc)
+        acc = T.fq12_select(bit != 0, T.fq12_mul(acc, f), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, f, bits)
+    return acc
+
+
+def final_exp(f: Fq12) -> Fq12:
+    # ---- easy part: f^((p^6-1)(p^2+1)) ----
+    f = T.fq12_mul(T.fq12_conj(f), T.fq12_inv(f))  # f^(p^6-1)
+    f = T.fq12_mul(T.fq12_frob(f, 2), f)  # ^(p^2+1); now cyclotomic
+
+    # ---- hard part: f^((p^4-p^2+1)/r) ----
+    ft1 = exp_u(f)
+    ft2 = exp_u(ft1)
+    ft3 = exp_u(ft2)
+    fp1 = T.fq12_frob(f, 1)
+    fp2 = T.fq12_frob(f, 2)
+    fp3 = T.fq12_frob(f, 3)
+    y0 = T.fq12_mul(T.fq12_mul(fp1, fp2), fp3)
+    y1 = T.fq12_conj(f)
+    y2 = T.fq12_frob(ft2, 2)
+    y3 = T.fq12_conj(T.fq12_frob(ft1, 1))
+    y4 = T.fq12_conj(T.fq12_mul(ft1, T.fq12_frob(ft2, 1)))
+    y5 = T.fq12_conj(ft2)
+    y6 = T.fq12_conj(T.fq12_mul(ft3, T.fq12_frob(ft3, 1)))
+    t0 = T.fq12_mul(T.fq12_mul(T.fq12_sq(y6), y4), y5)
+    t1 = T.fq12_mul(T.fq12_mul(y3, y5), t0)
+    t0 = T.fq12_mul(t0, y2)
+    t1 = T.fq12_sq(T.fq12_mul(T.fq12_sq(t1), t0))
+    return T.fq12_mul(T.fq12_mul(t1, y0), T.fq12_sq(T.fq12_mul(t1, y1)))

@@ -1,0 +1,88 @@
+"""Device pairing API: single, batched, and product-reduced pairings.
+
+Mirrors the reference's `pairing_batch(&[(G1, G2)]) -> Gt` semantics
+(/root/reference/src/ecdsa.rs:57,86): multiply the per-pair Miller values
+in Fq12, then ONE shared final exponentiation — the structure the whole
+multi-chip scaling design rides on (SURVEY.md §5.7/§5.8): per-shard
+Miller loops, Fq12-product reduction (a commutative monoid), one final
+exponentiation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import limbs as L
+from ..fields import tower as T
+from . import final_exp as FE
+from . import miller as M
+
+Fq12 = T.Fq12
+
+
+def pairing(px, py, qx, qy, inf_mask=None) -> Fq12:
+    """Full pairing e(P, Q) for affine Montgomery-domain inputs."""
+    return FE.final_exp(M.miller_loop(px, py, qx, qy, inf_mask))
+
+
+def miller_product(px, py, qx, qy, pair_axis: int = 0) -> Fq12:
+    """Miller values for a batch of pairs, multiplied along `pair_axis`.
+
+    Inputs carry a leading 'pair' batch dim at tensor axis 1 (the first
+    batch dim); the product reduces it. Used for the 2-pair verify check
+    and for shard-local reduction in distributed batch verification.
+    """
+    f = M.miller_loop(px, py, qx, qy)
+    return fq12_reduce_mul(f, axis=pair_axis)
+
+
+def fq12_reduce_mul(f: Fq12, axis: int = 0) -> Fq12:
+    """Tree-reduce an Fq12 batch axis by field multiplication.
+
+    log2(n) sequential fq12_mul rounds, each on half the remaining batch —
+    the on-chip analogue of the cross-chip Fq12 all-reduce.
+    `axis` indexes the batch dims (0 = tensor axis 1, after limbs).
+    """
+    taxis = axis + 1  # tensor axis (axis 0 is limbs)
+
+    def take(x, sl):
+        idx = (slice(None),) * taxis + (sl,)
+        return x[idx]
+
+    def length(x):
+        return x.shape[taxis]
+
+    leaf = jax.tree_util.tree_leaves(f)[0]
+    n = leaf.shape[taxis]
+    while n > 1:
+        half = n // 2
+        lo = jax.tree_util.tree_map(lambda x: take(x, slice(0, half)), f)
+        hi = jax.tree_util.tree_map(
+            lambda x: take(x, slice(half, 2 * half)), f
+        )
+        prod = T.fq12_mul(lo, hi)
+        if n % 2:
+            rest = jax.tree_util.tree_map(
+                lambda x: take(x, slice(2 * half, n)), f
+            )
+            prod = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=taxis), prod, rest
+            )
+            n = half + 1
+        else:
+            n = half
+        f = prod
+    return jax.tree_util.tree_map(
+        lambda x: jnp.squeeze(x, axis=taxis), f
+    )
+
+
+def pairing_check(px, py, qx, qy) -> jnp.ndarray:
+    """prod_i e(P_i, Q_i) == 1 with one shared final exponentiation.
+
+    Pair axis is the first batch dim; remaining batch dims are preserved
+    (vmap-style). Returns a bool per remaining batch element.
+    """
+    reduced = miller_product(px, py, qx, qy)
+    return T.fq12_is_one(FE.final_exp(reduced))

@@ -1,0 +1,62 @@
+"""Host protocol objects <-> device tensors (the tensor boundary).
+
+Batched conversions between the protocol layer's Python-int points/keys
+and the device's Montgomery limb tensors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import NLIMBS
+from ..fields import limbs as L
+from ..fields import tower as T
+from ..host import curve as HC
+
+
+def g1_batch_to_device_affine(points_jac):
+    """List of host Jacobian G1 points -> (x, y) Montgomery limb tensors
+    of shape (16, B). Identity points are not supported here (callers
+    pass hash points / signatures, which are never the identity in valid
+    flows); use the inf-mask variants if needed."""
+    affs = [HC.g1_to_affine(p) for p in points_jac]
+    assert all(a is not None for a in affs), "identity in G1 batch"
+    xs = L.to_mont(L.from_ints([a[0] for a in affs]))
+    ys = L.to_mont(L.from_ints([a[1] for a in affs]))
+    return xs, ys
+
+
+def g2_batch_to_device_affine(points_jac):
+    """List of host Jacobian G2 points -> (Fq2 x, Fq2 y) limb tensors."""
+    affs = [HC.g2_to_affine(p) for p in points_jac]
+    assert all(a is not None for a in affs), "identity in G2 batch"
+
+    def fq2(vals):
+        return T.Fq2(
+            L.to_mont(L.from_ints([v[0] for v in vals])),
+            L.to_mont(L.from_ints([v[1] for v in vals])),
+        )
+
+    return fq2([a[0] for a in affs]), fq2([a[1] for a in affs])
+
+
+def scalars_to_device(scalars) -> jnp.ndarray:
+    """List of ints < 2^256 -> (16, B) canonical limb tensor (no Montgomery)."""
+    return L.from_ints(list(scalars))
+
+
+def g2_const_affine(point_jac, batch_shape=()):
+    """Single host G2 point -> broadcast device affine (Fq2 x, Fq2 y)."""
+    aff = HC.g2_to_affine(point_jac)
+
+    def bc(v):
+        arr = L.to_mont(L.from_ints(v))
+        return jnp.broadcast_to(
+            arr.reshape((NLIMBS,) + (1,) * len(batch_shape)),
+            (NLIMBS,) + tuple(batch_shape),
+        )
+
+    return (
+        T.Fq2(bc(aff[0][0]), bc(aff[0][1])),
+        T.Fq2(bc(aff[1][0]), bc(aff[1][1])),
+    )
