@@ -61,17 +61,18 @@ SQRT_EXP_P = (P + 1) // 4
 # ---------------------------------------------------------------------------
 # Limb layout for the device (TPU) representation.
 #
-# Field elements are lane-packed little-endian 16-bit limbs held in uint32
-# tensors of shape (..., NLIMBS).  16-bit limbs make every partial product of
-# a schoolbook multiply fit exactly in uint32 (max (2^16-1)^2 < 2^32) and let
-# column sums of up to 2^11 terms accumulate without overflow.
+# Field elements are lane-packed little-endian 15-bit limbs held in uint32
+# tensors of shape (NLIMBS, ...).  The one bit of limb headroom and ~14 bits
+# of value headroom (capacity 2^270 vs values < ~2^258) enable lazy
+# arithmetic: carry-free adds, offset-based subs, and REDC without
+# conditional subtraction. See fields/limbs.py for the full design notes.
 # ---------------------------------------------------------------------------
-LIMB_BITS = 16
-NLIMBS = 16  # 256 bits
+LIMB_BITS = 15
+NLIMBS = 18  # 270 bits capacity
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
-# Montgomery constants for Fq with radix 2^256
-MONT_R = 1 << 256
+# Montgomery constants for Fq with radix R = 2^(15*18) = 2^270
+MONT_R = 1 << (LIMB_BITS * NLIMBS)
 MONT_R_MOD_P = MONT_R % P
 MONT_R2_MOD_P = (MONT_R * MONT_R) % P
 # -p^{-1} mod 2^256 (for REDC)

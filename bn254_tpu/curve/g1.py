@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,11 +17,7 @@ OPS = FqOps
 
 def generator(batch_shape=()) -> J.JPoint:
     def bc(v):
-        arr = L.to_mont(L.from_ints(v))
-        return jnp.broadcast_to(
-            arr.reshape((NLIMBS,) + (1,) * len(batch_shape)),
-            (NLIMBS,) + tuple(batch_shape),
-        )
+        return L.bcast_to(L.to_mont(L.from_ints(v)), batch_shape)
 
     return J.JPoint(bc(G1_GEN[0]), bc(G1_GEN[1]), L.mont_one(batch_shape))
 
@@ -57,7 +54,7 @@ def is_on_curve_affine(x, y):
     """y^2 == x^3 + 3 for Montgomery-domain affine coords (batch bool)."""
     y2 = L.mont_sqr(y)
     x3 = L.mont_mul(L.mont_sqr(x), x)
-    b = T.mul_small(L.mont_one(x.shape[1:]), B)
+    b = L.mul_small(L.mont_one(x.batch_shape), B)
     return L.eq(y2, L.add_mod(x3, b))
 
 
@@ -85,7 +82,7 @@ def from_host(points) -> J.JPoint:
         L.to_mont(L.from_ints(zs)),
     )
     if single:
-        dev = J.JPoint(dev.x[:, 0], dev.y[:, 0], dev.z[:, 0])
+        dev = jax.tree_util.tree_map(lambda a: a[:, 0], dev)
     return dev
 
 

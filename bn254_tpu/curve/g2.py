@@ -21,11 +21,7 @@ B2_HOST = HC.B2
 
 def _bc_fq2(val, batch_shape):
     def bc(v):
-        arr = L.to_mont(L.from_ints(v))
-        return jnp.broadcast_to(
-            arr.reshape((NLIMBS,) + (1,) * len(batch_shape)),
-            (NLIMBS,) + tuple(batch_shape),
-        )
+        return L.bcast_to(L.to_mont(L.from_ints(v)), batch_shape)
 
     return T.Fq2(bc(val[0]), bc(val[1]))
 

@@ -107,29 +107,43 @@ def _select_point(ops, mask, t: JPoint, f: JPoint) -> JPoint:
     )
 
 
-def scalar_mul(ops, p: JPoint, scalar_limbs: jnp.ndarray) -> JPoint:
-    """[k]P by a fixed 256-step LSB-first double-and-add ladder.
+def _retag_point(ops, p: JPoint, vmax: int) -> JPoint:
+    """Pin carrier bounds (value AND limb) for scan-carrier stability."""
+    return JPoint(
+        ops.retag(p.x, vmax), ops.retag(p.y, vmax), ops.retag(p.z, vmax)
+    )
 
-    scalar_limbs: (16, *batch) uint32 canonical little-endian limbs of k.
+
+def scalar_mul(ops, p: JPoint, scalar_limbs, nbits: int = 256) -> JPoint:
+    """[k]P by a fixed nbits-step LSB-first double-and-add ladder.
+
+    scalar_limbs: El with canonical little-endian limbs of k (k < 2^nbits).
     Constant iteration count and branch-free accumulation (masked select),
     so the schedule is data-independent.
     """
+    from ..fields.limbs import El, STD_BOUND
+
+    s_arr = scalar_limbs.arr if isinstance(scalar_limbs, El) else scalar_limbs
     bs = ops.batch_shape(p.x)
-    acc0 = identity(ops, bs)
+    acc0 = _retag_point(ops, identity(ops, bs), STD_BOUND)
+    p = _retag_point(ops, p, STD_BOUND)
 
     def step(carry, i):
         acc, addend = carry
         limb = jax.lax.dynamic_index_in_dim(
-            scalar_limbs, i // LIMB_BITS, axis=0, keepdims=False
+            s_arr, i // LIMB_BITS, axis=0, keepdims=False
         )
         bit = (limb >> (i % LIMB_BITS).astype(jnp.uint32)) & jnp.uint32(1)
         summed = add(ops, acc, addend)
         acc = _select_point(ops, bit != 0, summed, acc)
         addend = double(ops, addend)
-        return (acc, addend), None
+        return (
+            _retag_point(ops, acc, STD_BOUND),
+            _retag_point(ops, addend, STD_BOUND),
+        ), None
 
     (acc, _), _ = jax.lax.scan(
-        step, (acc0, p), jnp.arange(NLIMBS * LIMB_BITS, dtype=jnp.uint32)
+        step, (acc0, p), jnp.arange(nbits, dtype=jnp.uint32)
     )
     return acc
 

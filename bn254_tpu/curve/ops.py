@@ -43,7 +43,7 @@ class FqOps:
 
     @staticmethod
     def mul_small(a, k):
-        return T.mul_small(a, k)
+        return L.mul_small(a, k)
 
     @staticmethod
     def inv(a):
@@ -71,7 +71,11 @@ class FqOps:
 
     @staticmethod
     def batch_shape(a):
-        return a.shape[1:]
+        return a.batch_shape
+
+    @staticmethod
+    def retag(a, vmax):
+        return L.retag(a, vmax, 1 << 16)
 
 
 class Fq2Ops:
@@ -131,4 +135,8 @@ class Fq2Ops:
 
     @staticmethod
     def batch_shape(a):
-        return a.c0.shape[1:]
+        return a.c0.batch_shape
+
+    @staticmethod
+    def retag(a, vmax):
+        return T.fq2_retag(a, vmax)

@@ -58,20 +58,13 @@ def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     final exponentiation (exact per-tuple accept/reject semantics,
     matching reference `verify` one-by-one).
     """
-    B = hx.shape[-1]
-    # pair axis in front of the batch axis: (16, 2, B)
-    px = jnp.stack([hx, sx], axis=1)
-    py = jnp.stack([hy, sy], axis=1)
+    B = hx.batch_shape[-1]
+    # pair axis in front of the batch axis: (18, 2, B)
+    px = L.stack([hx, sx])
+    py = L.stack([hy, sy])
     ngx, ngy = _neg_g2_one((B,))
-
-    def stack2(a: T.Fq2, b: T.Fq2) -> T.Fq2:
-        return T.Fq2(
-            jnp.stack([a.c0, jnp.broadcast_to(b.c0, a.c0.shape)], axis=1),
-            jnp.stack([a.c1, jnp.broadcast_to(b.c1, a.c1.shape)], axis=1),
-        )
-
-    qx = stack2(pqx, ngx)
-    qy = stack2(pqy, ngy)
+    qx = T.fq2_stack([pqx, ngx])
+    qy = T.fq2_stack([pqy, ngy])
     return DP.pairing_check(px, py, qx, qy)
 
 
@@ -93,8 +86,8 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
     One shared final exponentiation for the whole batch.
     """
     # [w_i]H_i and [w_i]sig_i (batched fixed ladders)
-    h_j = J.JPoint(hx, hy, L.mont_one(hx.shape[1:]))
-    s_j = J.JPoint(sx, sy, L.mont_one(sx.shape[1:]))
+    h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
+    s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
     wh = DG1.scalar_mul(h_j, weights)
     ws = DG1.scalar_mul(s_j, weights)
 
@@ -123,7 +116,7 @@ def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
         idx = (slice(None),) * taxis + (sl,)
         return x[idx]
 
-    n = p.x.shape[taxis]
+    n = p.x.arr.shape[taxis]
     while n > 1:
         half = n // 2
         lo = jax.tree_util.tree_map(lambda x: take(x, slice(0, half)), p)
@@ -163,10 +156,8 @@ def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
     """
     n_dev = mesh.shape[axis_name]
 
-    def shard_fn(hx, hy, sx, sy, pq0, pq1, qy0, qy1, w):
-        pqx = T.Fq2(pq0, pq1)
-        pqy = T.Fq2(qy0, qy1)
-        bs = hx.shape[1:]
+    def shard_fn(hx, hy, sx, sy, pqx, pqy, w):
+        bs = hx.batch_shape
 
         # 1. apply random weights to H and sig (local batch)
         h_j = J.JPoint(hx, hy, L.mont_one(bs))
@@ -193,31 +184,29 @@ def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
         ok = T.fq12_is_one(FE.final_exp(T.fq12_mul(f_all, f_sig)))
         return ok
 
-    batch_spec = PSpec(None, axis_name)  # (16, B): shard the batch dim
+    batch_spec = PSpec(None, axis_name)  # (18, B): shard the batch dim
     rep = PSpec()
 
     sharded = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(batch_spec,) * 9,
+            in_specs=(batch_spec,) * 7,
             out_specs=rep,
             check_vma=False,
         )
     )
 
     def run(hx, hy, sx, sy, pqx, pqy, weights):
-        """Tensors: (16, B) / Fq2 of (16, B); weights: (16, B) limb tensor
-        or a list of ints. Returns a scalar bool (replicated)."""
-        B = hx.shape[-1]
+        """hx..sy: limbs.El (18, B); pqx/pqy: tower.Fq2 of El; weights:
+        El limb tensor or a list of ints. Returns a scalar bool."""
+        B = hx.batch_shape[-1]
         assert B % n_dev == 0, "batch must divide the mesh axis size"
         w = (
             weights
-            if isinstance(weights, jnp.ndarray)
+            if isinstance(weights, L.El)
             else CV.scalars_to_device(weights)
         )
-        return sharded(
-            hx, hy, sx, sy, pqx.c0, pqx.c1, pqy.c0, pqy.c1, w
-        )
+        return sharded(hx, hy, sx, sy, pqx, pqy, w)
 
     return run

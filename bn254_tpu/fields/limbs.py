@@ -1,28 +1,39 @@
-"""Lane-packed 256-bit limb arithmetic for TPU (the device bigint engine).
+"""Lane-packed 256-bit lazy Montgomery limb engine for TPU (v2).
 
-This is the TPU-native replacement for the reference dependency's
-`arith::U256` / Montgomery field core (SURVEY.md §2.3, rows U256/Fq/Fr):
-field elements are little-endian 16-bit limbs held in uint32 tensors of
-shape ``(NLIMBS, *batch)``.
+TPU-native replacement for the reference dependency's `arith::U256` /
+Montgomery field core (SURVEY.md §2.3). Field elements are little-endian
+**15-bit limbs in uint32 tensors of shape (18, *batch)** with Montgomery
+radix R = 2^270.
 
-Design notes (TPU-first, not a translation of the Rust u128 design):
+Why this layout (v2 design notes — the v1 16x16 engine compiled and ran
+correctly but drowned XLA in per-add carry scans):
 
-* **Limbs lead, batch trails.** The trailing batch dimension maps to the
-  128-wide VPU lanes; the 16-limb axis maps to sublanes. A batch-major
-  ``(B, 16)`` layout would waste 7/8 of each lane tile.
-* **16-bit limbs in uint32.** Every partial product of a schoolbook
-  multiply fits exactly in uint32 ((2^16-1)^2 < 2^32) and column sums of
-  up to 2^10 terms accumulate carry-free, so the multiplier is one big
-  elementwise outer product plus padded adds — pure VPU work with no
-  data-dependent control flow.
-* **Carry chains are `lax.scan`s over the limb axis** (length 16-33), so
-  the traced graph stays small and the batch dimension stays vectorised.
-* **Montgomery ("almost Montgomery") domain.** `mont_mul` maps inputs
-  ≤ 2p to an output ≤ 2p with no final conditional subtract; canonical
-  reduction happens only at codec/comparison boundaries.
+* **Redundancy buys laziness.** 15-bit limbs in 32-bit lanes leave one
+  bit of limb headroom and ~14 bits of value headroom (values stay below
+  ~2^258, capacity is 2^270). Consequences:
+    - **Addition is ONE vector op** (limb-wise add, no carry, no
+      conditional subtract).
+    - **Subtraction is one signed carry chain** plus a static
+      multiple-of-p offset — no conditional subtracts.
+    - **REDC needs no final conditional subtract**, and no value
+      reduction appears anywhere in the hot path; canonicalisation
+      happens only at codec/compare boundaries.
+* **Exact static bound tracking.** Every element (`El`) carries its
+  exact value bound and limb bound as *static* pytree metadata; overflow
+  is a Python assertion at trace time, costing nothing at runtime.
+  `mont_mul` auto-normalises limb-lazy inputs with a single unrolled
+  carry chain over the stacked operand.
+* **All carry chains are unrolled straight-line code** (18-36 steps of
+  elementwise uint32/int32 ops). No `lax.scan`/`while` in field ops —
+  XLA fuses flat elementwise chains and compiles orders of magnitude
+  faster than thousands of tiny loop subcomputations.
+* **Limbs lead, batch trails**: the trailing batch dim maps to the
+  128-wide VPU lanes, limbs to sublanes.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +43,7 @@ from ..constants import (
     LIMB_BITS,
     LIMB_MASK,
     MONT_NEG_P_INV,
+    MONT_R,
     MONT_R2_MOD_P,
     MONT_R_MOD_P,
     NLIMBS,
@@ -41,7 +53,57 @@ from ..constants import (
 )
 
 U32 = jnp.uint32
-MASK16 = np.uint32(LIMB_MASK)
+I32 = jnp.int32
+MASK = np.uint32(LIMB_MASK)
+CAPACITY = 1 << (LIMB_BITS * NLIMBS)  # 2^270
+_PROD_LIMIT = 1 << 32  # a_i * b_j must stay below this (uint32 exact)
+_COL_LIMIT = 1 << 26  # column values entering a carry chain
+# T = a*b + m*p must fit 2*NLIMBS limbs (2^540) with margin
+_T_LIMIT = 1 << 538
+
+# standard carrier bound used to stabilise scan carriers (see retag):
+# tower-op outputs on STD-bound inputs stay below ~2^263.5 (the worst
+# chain is mul-out -> xi-mul (x9 + sub offset) -> adds), so 2^264 is a
+# stable fixed point.
+STD_BOUND = 1 << 264
+
+
+# ---------------------------------------------------------------------------
+# Element type: array + static exact bounds
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class El:
+    """A (batched) bigint in limb form with static bounds.
+
+    arr: (NLIMBS, *batch) uint32 limbs, little-endian, radix 2^15.
+    vmax: exclusive upper bound on the represented value (exact int).
+    lmax: exclusive upper bound on every limb (exact int).
+    """
+
+    arr: jnp.ndarray
+    vmax: int
+    lmax: int
+
+    def tree_flatten(self):
+        return (self.arr,), (self.vmax, self.lmax)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def batch_shape(self):
+        return self.arr.shape[1:]
+
+
+def retag(a: El, vmax: int, lmax: int | None = None) -> El:
+    """Coerce bounds UP (for scan-carrier stability). Asserts validity."""
+    lm = lmax if lmax is not None else a.lmax
+    assert a.vmax <= vmax and a.lmax <= lm, (a.vmax, vmax, a.lmax, lm)
+    return El(a.arr, vmax, lm)
 
 
 # ---------------------------------------------------------------------------
@@ -49,133 +111,168 @@ MASK16 = np.uint32(LIMB_MASK)
 # ---------------------------------------------------------------------------
 
 
-def from_ints(values, n: int = NLIMBS) -> jnp.ndarray:
-    """Python ints (scalar or arbitrarily nested lists) -> (n, *shape) uint32."""
+def from_ints(values, vmax: int | None = None) -> El:
+    """Python ints (scalar or nested lists) -> normalised El."""
     arr = np.array(values, dtype=object)
-    out = np.zeros((n,) + arr.shape, dtype=np.uint32)
+    out = np.zeros((NLIMBS,) + arr.shape, dtype=np.uint32)
     flat = arr.reshape(-1)
-    oflat = out.reshape(n, -1)
+    oflat = out.reshape(NLIMBS, -1)
+    mx = 0
     for j in range(flat.shape[0]):
         v = int(flat[j])
-        for i in range(n):
+        mx = max(mx, v)
+        for i in range(NLIMBS):
             oflat[i, j] = (v >> (LIMB_BITS * i)) & LIMB_MASK
-    return jnp.asarray(out)
+    bound = vmax if vmax is not None else mx + 1
+    assert bound <= CAPACITY
+    return El(jnp.asarray(out), bound, 1 << LIMB_BITS)
 
 
-def to_ints(limb_arr) -> np.ndarray:
-    """(n, *shape) uint32 -> object ndarray of python ints (shape *shape)."""
-    host = np.asarray(limb_arr)
-    n = host.shape[0]
-    flat = host.reshape(n, -1)
-    out = np.empty(flat.shape[1], dtype=object)
-    for j in range(flat.shape[1]):
-        acc = 0
-        for i in range(n):
-            acc |= int(flat[i, j]) << (LIMB_BITS * i)
-        out[j] = acc
-    return out.reshape(host.shape[1:])
+def to_ints(a) -> np.ndarray:
+    """El or raw (NLIMBS, *batch) limbs -> object ndarray of ints."""
+    host = np.asarray(a.arr if isinstance(a, El) else a).astype(object)
+    weights = np.array([1 << (LIMB_BITS * i) for i in range(host.shape[0])],
+                       dtype=object)
+    return np.tensordot(weights, host, axes=(0, 0))
 
 
-def to_int(limb_arr) -> int:
-    """(n,) limbs -> single python int."""
-    return int(to_ints(limb_arr).item())
+def to_int(a) -> int:
+    return int(to_ints(a).reshape(-1)[0])
 
 
-def const_limbs(x: int, n: int = NLIMBS) -> jnp.ndarray:
-    """Compile-time constant -> (n,) uint32 limb vector."""
-    return jnp.array(to_limbs(x, n), dtype=U32)
+def const_el(x: int) -> El:
+    """Compile-time constant -> (NLIMBS,) El (canonical limbs)."""
+    return El(jnp.array(to_limbs(x, NLIMBS), dtype=U32), x + 1, 1 << LIMB_BITS)
 
 
-def bcast(c: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast a (n,) constant limb vector against (n, *batch)."""
-    return c.reshape(c.shape + (1,) * (like.ndim - 1))
+def _bc(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Append singleton batch dims so (18, ...) broadcasts against rank ndim."""
+    if x.ndim < ndim:
+        return x.reshape(x.shape + (1,) * (ndim - x.ndim))
+    return x
+
+
+def _bc2(a: jnp.ndarray, b: jnp.ndarray):
+    nd = max(a.ndim, b.ndim)
+    return _bc(a, nd), _bc(b, nd)
 
 
 # ---------------------------------------------------------------------------
-# Carry / borrow propagation (scans over the limb axis)
+# Carry chains (unrolled, straight-line)
 # ---------------------------------------------------------------------------
 
 
-def carry(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """Propagate carries over uint32 columns (< 2^26) -> out_len 16-bit limbs.
+def _carry_u(cols: jnp.ndarray, out_len: int, col_max: int) -> jnp.ndarray:
+    """Unsigned carry propagation: (K, *b) columns -> (out_len, *b) limbs.
 
-    cols: (K, *batch). If out_len > K the final carry is appended (it is
-    guaranteed < 2^16 for our column bounds); if out_len <= K, higher
-    limbs are dropped (caller asserts they are zero-by-construction).
-    """
+    col_max bounds every column value; the final carry must vanish by the
+    caller's value bound (asserted via out_len capacity)."""
+    assert col_max < 1 << 31
     k = cols.shape[0]
-    zero = jnp.zeros(cols.shape[1:], U32)
-
-    def step(c, col):
-        t = col + c
-        return t >> LIMB_BITS, t & MASK16
-
-    carry_out, limbs = jax.lax.scan(step, zero, cols)
-    if out_len > k:
-        pads = [carry_out[None]]
-        if out_len > k + 1:
-            pads.append(jnp.zeros((out_len - k - 1,) + cols.shape[1:], U32))
-        limbs = jnp.concatenate([limbs] + pads, axis=0)
-    return limbs[:out_len]
+    c = jnp.zeros(cols.shape[1:], U32)
+    limbs = []
+    for i in range(out_len):
+        t = (cols[i] + c) if i < k else c
+        limbs.append(t & MASK)
+        c = t >> LIMB_BITS
+    return jnp.stack(limbs, axis=0)
 
 
-def carry_signed(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """Carry propagation for int32 columns that may be negative (|col| < 2^30).
-
-    Used for fused add/sub where per-limb values can dip below zero; the
-    arithmetic right shift propagates negative carries correctly. The total
-    value must be non-negative.
-    """
+def _carry_s(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Signed carry propagation for int32 columns (arithmetic shifts
+    propagate negative carries); total value must be non-negative."""
     k = cols.shape[0]
-    zero = jnp.zeros(cols.shape[1:], jnp.int32)
-
-    def step(c, col):
-        t = col + c
-        return t >> LIMB_BITS, (t & jnp.int32(LIMB_MASK)).astype(U32)
-
-    carry_out, limbs = jax.lax.scan(step, zero, cols.astype(jnp.int32))
-    if out_len > k:
-        pads = [carry_out.astype(U32)[None]]
-        if out_len > k + 1:
-            pads.append(jnp.zeros((out_len - k - 1,) + cols.shape[1:], U32))
-        limbs = jnp.concatenate([limbs] + pads, axis=0)
-    return limbs[:out_len]
+    c = jnp.zeros(cols.shape[1:], I32)
+    limbs = []
+    for i in range(out_len):
+        t = (cols[i] + c) if i < k else c
+        limbs.append((t & I32(LIMB_MASK)).astype(U32))
+        c = t >> LIMB_BITS
+    return jnp.stack(limbs, axis=0)
 
 
-def cond_sub(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """v - m if v >= m else v (limb vectors; m is a (n,) constant)."""
-    n = v.shape[0]
-    mb = bcast(m, v) * jnp.ones_like(v)  # broadcast to full shape for scan
-
-    def step(borrow, pair):
-        vk, mk = pair
-        t = vk + jnp.uint32(1 << LIMB_BITS) - mk - borrow
-        return jnp.uint32(1) - (t >> LIMB_BITS), t & MASK16
-
-    borrow_out, diff = jax.lax.scan(
-        step, jnp.zeros(v.shape[1:], U32), (v, mb)
-    )
-    keep = (borrow_out != 0)[None]  # True -> v < m -> keep v
-    return jnp.where(keep, v, diff)
+def norm_limbs(a: El) -> El:
+    """Carry-normalise limbs to < 2^15 (value unchanged; must fit capacity)."""
+    if a.lmax <= (1 << LIMB_BITS):
+        return a
+    assert a.vmax <= CAPACITY and a.lmax <= _COL_LIMIT
+    return El(_carry_u(a.arr, NLIMBS, a.lmax), a.vmax, 1 << LIMB_BITS)
 
 
 # ---------------------------------------------------------------------------
-# Schoolbook multiplication columns
+# Lazy add / offset sub / small-constant mul
 # ---------------------------------------------------------------------------
 
 
-def mul_cols(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
-    """Column sums of the product a*b without carry propagation.
+def add_mod(a: El, b: El) -> El:
+    """Lazy modular add: one vector op. Limbs and value bounds sum."""
+    aa, ba = _bc2(a.arr, b.arr)
+    out = El(aa + ba, a.vmax + b.vmax, a.lmax + b.lmax)
+    assert out.lmax <= _COL_LIMIT and out.vmax <= CAPACITY
+    return out
 
-    a: (n, *batch), b: (m, *batch) -> (ncols, *batch) uint32 columns,
-    each < 2^21 (32 16-bit terms max). Truncated products (ncols < n+m)
-    skip the work for unused columns.
-    """
+
+def double_mod(a: El) -> El:
+    return add_mod(a, a)
+
+
+def _sub_offset(bound: int) -> tuple[int, El]:
+    """Smallest 2^j * p >= bound (static)."""
+    j = 0
+    while (P << j) < bound:
+        j += 1
+    c = P << j
+    return c, const_el(c)
+
+
+def sub_mod(a: El, b: El) -> El:
+    """a - b + 2^j p (signed carry chain; output limb-normalised)."""
+    c_val, c_el = _sub_offset(b.vmax)
+    assert a.lmax + (1 << LIMB_BITS) + b.lmax < (1 << 31)
+    aa, ba = _bc2(a.arr, b.arr)
+    ca = _bc(c_el.arr, max(aa.ndim, ba.ndim))
+    cols = aa.astype(I32) + ca.astype(I32) - ba.astype(I32)
+    out_v = a.vmax + c_val
+    assert out_v <= CAPACITY
+    return El(_carry_s(cols, NLIMBS), out_v, 1 << LIMB_BITS)
+
+
+def neg_mod(a: El) -> El:
+    """(2^j p) - a."""
+    c_val, c_el = _sub_offset(a.vmax)
+    ca = _bc(c_el.arr, a.arr.ndim)
+    cols = ca.astype(I32) - a.arr.astype(I32)
+    return El(_carry_s(cols, NLIMBS), c_val + 1, 1 << LIMB_BITS)
+
+
+def mul_small(a: El, k: int) -> El:
+    """a * k for a small positive constant (carry-normalised output)."""
+    assert 0 < k and a.lmax * k < _COL_LIMIT
+    out_v = a.vmax * k
+    assert out_v <= CAPACITY
+    return El(_carry_u(a.arr * U32(k), NLIMBS, a.lmax * k), out_v, 1 << LIMB_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication (radix 2^270)
+# ---------------------------------------------------------------------------
+
+P_EL = const_el(P)
+PINV_EL = const_el(MONT_NEG_P_INV)
+R_MOD_P_EL = const_el(MONT_R_MOD_P)
+R2_EL = const_el(MONT_R2_MOD_P)
+ONE_EL = const_el(1)
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """Column sums of a*b (no carries): (n,*ba) x (m,*bb) -> (ncols, *b)."""
     n, m = a.shape[0], b.shape[0]
-    prod = a[:, None] * b[None, :]  # (n, m, *batch) uint32, exact
-    lo = prod & MASK16
+    aa, ba = _bc2(a, b)
+    prod = aa[:, None] * ba[None, :]  # (n, m, *batch) uint32, exact
+    lo = prod & MASK
     hi = prod >> LIMB_BITS
-    cols = jnp.zeros((ncols,) + jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), U32)
+    shape = (ncols,) + jnp.broadcast_shapes(aa.shape[1:], ba.shape[1:])
+    cols = jnp.zeros(shape, U32)
     for i in range(n):
         w = min(m, ncols - i)
         if w > 0:
@@ -186,74 +283,40 @@ def mul_cols(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
     return cols
 
 
-# ---------------------------------------------------------------------------
-# Montgomery multiplication mod p (radix 2^256)
-# ---------------------------------------------------------------------------
+def mont_mul(a: El, b: El) -> El:
+    """REDC(a*b) with R = 2^270.
 
-P_LIMBS = const_limbs(P)
-P2_LIMBS = const_limbs(2 * P)
-P2_LIMBS_17 = const_limbs(2 * P, NLIMBS + 1)
-PINV_LIMBS = const_limbs(MONT_NEG_P_INV)  # -p^{-1} mod 2^256
-R_MOD_P_LIMBS = const_limbs(MONT_R_MOD_P)  # Montgomery one
-R2_LIMBS = const_limbs(MONT_R2_MOD_P)
-ONE_LIMBS = const_limbs(1)
-ZERO_LIMBS = const_limbs(0)
-
-
-def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product REDC(a*b): inputs <= 2p (16 limbs), output <= 2p.
-
-    Separated operand scanning: full 512-bit product T, then
-    m = (T mod R) * (-p^-1) mod R, result = (T + m*p) / R. With
-    a, b <= 2p: T <= 4p^2 < R*p, so (T + m*p)/R < 2p — no final subtract,
-    the <= 2p invariant is closed under multiplication.
+    Inputs may be limb-lazy (limbs < 2^16 used directly; lazier inputs
+    are carry-normalised first) and value-lazy (values < 2^262).
+    Output: limbs < 2^15, value < a.vmax*b.vmax/R + p — in practice
+    < 2^258 for all closed-loop uses. No conditional subtraction.
     """
-    # NB: the product of two 16-limb values spans 32 columns — lo parts land
-    # at i+j (max 30), hi parts at i+j+1 (max 31).
-    t = carry(mul_cols(a, b, 2 * NLIMBS), 2 * NLIMBS)
-    m = carry(mul_cols(t[:NLIMBS], bcast(PINV_LIMBS, a), NLIMBS), NLIMBS)
-    mp = mul_cols(m, bcast(P_LIMBS, a), 2 * NLIMBS)
-    # T + m*p: t is 32 exact limbs (< 2^16), mp is 32 columns (< 2^21)
-    total = carry(t + mp, 2 * NLIMBS)
-    return total[NLIMBS:]
+    if a.lmax * b.lmax > _PROD_LIMIT:
+        a = norm_limbs(a)
+        if a.lmax * b.lmax > _PROD_LIMIT:
+            b = norm_limbs(b)
+    assert a.lmax * b.lmax <= _PROD_LIMIT
+    assert a.vmax * b.vmax + MONT_R * P <= _T_LIMIT
+
+    n2 = 2 * NLIMBS
+    # column bound for the T accumulation (hi parts < lmax^2 / 2^15)
+    t_cols = _mul_cols(a.arr, b.arr, n2)
+    t = _carry_u(t_cols, n2, _COL_LIMIT)
+
+    nd = t.ndim
+    m_cols = _mul_cols(t[:NLIMBS], _bc(PINV_EL.arr, nd), NLIMBS)
+    m = _carry_u(m_cols, NLIMBS, _COL_LIMIT)
+
+    mp_cols = _mul_cols(m, _bc(P_EL.arr, nd), n2)
+    total = _carry_u(t + mp_cols, n2, _COL_LIMIT)
+
+    out_v = a.vmax * b.vmax // MONT_R + P + 1
+    assert out_v <= CAPACITY
+    return El(total[NLIMBS:], out_v, 1 << LIMB_BITS)
 
 
-def mont_sqr(a: jnp.ndarray) -> jnp.ndarray:
+def mont_sqr(a: El) -> El:
     return mont_mul(a, a)
-
-
-# ---------------------------------------------------------------------------
-# Modular add/sub/neg in the <= 2p domain
-# ---------------------------------------------------------------------------
-
-
-def add_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b) with one conditional subtract of 2p: inputs <= 2p, output <= 2p."""
-    s = carry(a + b, NLIMBS + 1)  # limb sums < 2^17: carry-safe
-    s = cond_sub(s, P2_LIMBS_17)
-    return s[:NLIMBS]
-
-
-def sub_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b + 2p) with one conditional subtract of 2p: output <= 2p."""
-    cols = (
-        a.astype(jnp.int32)
-        + bcast(P2_LIMBS, a).astype(jnp.int32)
-        - b.astype(jnp.int32)
-    )
-    s = carry_signed(cols, NLIMBS + 1)
-    s = cond_sub(s, P2_LIMBS_17)
-    return s[:NLIMBS]
-
-
-def neg_mod(a: jnp.ndarray) -> jnp.ndarray:
-    """2p - a (output <= 2p; maps 0 -> 2p which canonicalises to 0)."""
-    cols = bcast(P2_LIMBS, a).astype(jnp.int32) - a.astype(jnp.int32)
-    return carry_signed(cols, NLIMBS)
-
-
-def double_mod(a: jnp.ndarray) -> jnp.ndarray:
-    return add_mod(a, a)
 
 
 # ---------------------------------------------------------------------------
@@ -261,77 +324,149 @@ def double_mod(a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def canon(a: jnp.ndarray) -> jnp.ndarray:
-    """Reduce a value <= 2p to the canonical representative < p."""
-    return cond_sub(cond_sub(a, P_LIMBS), P_LIMBS)
+def cond_sub(a: El, m: int, m_el: El | None = None) -> El:
+    """a - m if a >= m else a (m a static int). Requires normalised limbs."""
+    a = norm_limbs(a)
+    me = m_el if m_el is not None else const_el(m)
+    ma = _bc(me.arr, a.arr.ndim)
+    borrow = jnp.zeros(a.arr.shape[1:], U32)
+    diff = []
+    for i in range(NLIMBS):
+        t = a.arr[i] + U32(1 << LIMB_BITS) - ma[i] - borrow
+        diff.append(t & MASK)
+        borrow = U32(1) - (t >> LIMB_BITS)
+    diff = jnp.stack(diff, axis=0)
+    keep = (borrow != 0)[None]  # borrow -> a < m -> keep a
+    return El(jnp.where(keep, a.arr, diff), min(a.vmax, max(m, a.vmax - m)),
+              1 << LIMB_BITS)
 
 
-def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Canonical equality (batch-shaped bool)."""
-    return jnp.all(canon(a) == canon(b), axis=0)
+def canon(a: El) -> El:
+    """Full reduction to the canonical representative < p.
+
+    Binary conditional-subtract ladder: ceil(log2(vmax/p)) rounds, each
+    halving the bound. Boundary-only cost (codecs, comparisons)."""
+    a = norm_limbs(a)
+    j = 0
+    while (P << j) < a.vmax:
+        j += 1
+    for jj in range(j - 1, -1, -1):
+        a = cond_sub(a, P << jj)
+    return El(a.arr, P, a.lmax)
 
 
-def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(canon(a) == 0, axis=0)
+def lt_const(a: El, m: int) -> jnp.ndarray:
+    """a < m (batch bool)."""
+    a = norm_limbs(a)
+    me = _bc(const_el(m).arr, a.arr.ndim)
+    borrow = jnp.zeros(a.arr.shape[1:], U32)
+    for i in range(NLIMBS):
+        t = a.arr[i] + U32(1 << LIMB_BITS) - me[i] - borrow
+        borrow = U32(1) - (t >> LIMB_BITS)
+    return borrow != 0
 
 
-def select(mask: jnp.ndarray, if_true: jnp.ndarray, if_false: jnp.ndarray) -> jnp.ndarray:
-    """Branch-free limb select; mask is batch-shaped bool."""
-    return jnp.where(mask[None], if_true, if_false)
+def eq(a: El, b: El) -> jnp.ndarray:
+    ca, cb = canon(a).arr, canon(b).arr
+    ca, cb = _bc2(ca, cb)
+    return jnp.all(ca == cb, axis=0)
+
+
+def is_zero(a: El) -> jnp.ndarray:
+    return jnp.all(canon(a).arr == 0, axis=0)
+
+
+def select(mask: jnp.ndarray, t: El, f: El) -> El:
+    ta, fa = _bc2(t.arr, f.arr)
+    return El(jnp.where(mask[None], ta, fa), max(t.vmax, f.vmax),
+              max(t.lmax, f.lmax))
 
 
 # ---------------------------------------------------------------------------
-# Montgomery domain conversion and fixed-exponent powers
+# Montgomery domain conversion, powers
 # ---------------------------------------------------------------------------
 
 
-def to_mont(x: jnp.ndarray) -> jnp.ndarray:
-    """Canonical x < p -> Montgomery form xR mod p."""
-    return mont_mul(x, bcast(R2_LIMBS, x) * jnp.ones_like(x))
+def to_mont(x: El) -> El:
+    """Canonical x -> Montgomery form xR mod p (+ small multiple of p)."""
+    return mont_mul(x, R2_EL)
 
 
-def from_mont(a: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery form -> canonical value < p (REDC by 1 then canon)."""
-    one = bcast(ONE_LIMBS, a) * jnp.ones_like(a)
-    return canon(mont_mul(a, one))
+def from_mont(a: El) -> El:
+    """Montgomery form -> canonical value < p."""
+    return canon(mont_mul(a, ONE_EL))
 
 
-def mont_one(batch_shape=()) -> jnp.ndarray:
-    return jnp.broadcast_to(
-        R_MOD_P_LIMBS.reshape((NLIMBS,) + (1,) * len(batch_shape)),
+def mont_one(batch_shape=()) -> El:
+    arr = jnp.broadcast_to(
+        _bc(R_MOD_P_EL.arr, 1 + len(batch_shape)),
         (NLIMBS,) + tuple(batch_shape),
+    )
+    return El(arr, MONT_R_MOD_P + 1, 1 << LIMB_BITS)
+
+
+def mont_zero(batch_shape=()) -> El:
+    return El(jnp.zeros((NLIMBS,) + tuple(batch_shape), U32), 1, 1 << LIMB_BITS)
+
+
+def bcast_to(a: El, batch_shape) -> El:
+    arr = jnp.broadcast_to(
+        _bc(a.arr, 1 + len(batch_shape)), (NLIMBS,) + tuple(batch_shape)
+    )
+    return El(arr, a.vmax, a.lmax)
+
+
+def stack(els, axis: int = 1) -> El:
+    """Stack elements along a new batch axis (default: first batch dim)."""
+    shapes = jnp.broadcast_shapes(*[e.arr.shape for e in els])
+    arrs = [jnp.broadcast_to(e.arr, shapes) for e in els]
+    return El(
+        jnp.stack(arrs, axis=axis),
+        max(e.vmax for e in els),
+        max(e.lmax for e in els),
     )
 
 
-def mont_zero(batch_shape=()) -> jnp.ndarray:
-    return jnp.zeros((NLIMBS,) + tuple(batch_shape), U32)
+def unstack(a: El, n: int, axis: int = 1):
+    idx = [slice(None)] * a.arr.ndim
+    outs = []
+    for i in range(n):
+        idx[axis] = i
+        outs.append(El(a.arr[tuple(idx)], a.vmax, a.lmax))
+    return outs
 
 
-def pow_fixed(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
-    """a^exponent (Montgomery domain) for a compile-time constant exponent.
+def elmap(fn, a: El, vmax: int | None = None, lmax: int | None = None) -> El:
+    """Apply an array-level transform (reshape/index/broadcast) to an El."""
+    return El(fn(a.arr), vmax or a.vmax, lmax or a.lmax)
 
-    Left-to-right square-and-multiply as a `lax.scan` over the exponent's
-    bits so the traced graph holds a single squaring + multiply body.
+
+def pow_fixed(a: El, exponent: int) -> El:
+    """a^exponent (Montgomery domain), compile-time exponent.
+
+    Square-and-multiply as a `lax.scan` over the exponent's bits; carrier
+    bound pinned to STD_BOUND for scan stability.
     """
     if exponent == 0:
-        return mont_one(a.shape[1:]) * jnp.ones_like(a)
+        return mont_one(a.batch_shape)
+    base = retag(norm_limbs(a), STD_BOUND)
     bits = [int(c) for c in bin(exponent)[2:]]
-    bits_arr = jnp.array(bits[1:], dtype=jnp.uint32)  # MSB consumed by init
+    bits_arr = jnp.array(bits[1:], dtype=jnp.uint32)
 
     def step(res, bit):
         res = mont_sqr(res)
-        res = select(bit != 0, mont_mul(res, a), res)
-        return res, None
+        res = select(bit != 0, mont_mul(res, base), res)
+        return retag(res, STD_BOUND), None
 
-    result, _ = jax.lax.scan(step, a, bits_arr)
+    result, _ = jax.lax.scan(step, base, bits_arr)
     return result
 
 
-def inv_mod(a: jnp.ndarray) -> jnp.ndarray:
-    """a^{-1} in the Montgomery domain (Fermat: a^(p-2))."""
+def inv_mod(a: El) -> El:
+    """a^{-1} in the Montgomery domain (Fermat)."""
     return pow_fixed(a, P - 2)
 
 
-def sqrt_candidate(a: jnp.ndarray) -> jnp.ndarray:
+def sqrt_candidate(a: El) -> El:
     """a^((p+1)/4) — the square root if a is a QR (p ≡ 3 mod 4)."""
     return pow_fixed(a, (P + 1) // 4)

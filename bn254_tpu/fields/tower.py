@@ -1,4 +1,4 @@
-"""Device (TPU) tower fields Fq2 / Fq6 / Fq12 over the limb engine.
+"""Device (TPU) tower fields Fq2 / Fq6 / Fq12 over the lazy limb engine.
 
 TPU-first structure: every tower multiplication gathers its leaf Fq
 multiplications into ONE batched `mont_mul` call by stacking operands along
@@ -8,15 +8,14 @@ an internal batch axis (axis 1, after the limb axis):
     Fq6  mul -> 6 Fq2 muls -> 18 leaves
     Fq12 mul -> 3 Fq6 muls -> 54 leaves, one mont_mul
 
-This keeps the traced graph small (one multiplier instantiation per tower
-op) and keeps the VPU lanes full: the internal leaf axis multiplies the
-user batch.
+Additions are lazy (one vector op — see fields/limbs.py); the Karatsuba
+pre-sums feed `mont_mul` directly in limb-lazy form and are normalised
+once inside the multiplier. Static bound tracking (El.vmax/lmax) verifies
+overflow-freedom at trace time.
 
-Tower (same as the host oracle, matching alt_bn128 convention):
+Tower (matching the host oracle / alt_bn128 convention):
     Fq2  = Fq[i]/(i^2+1),  Fq6 = Fq2[v]/(v^3 - xi),  Fq12 = Fq6[w]/(w^2 - v)
-with xi = 9 + i.
-
-All elements live in the Montgomery <= 2p domain of `limbs`.
+with xi = 9 + i. All elements are Montgomery-domain `limbs.El`s.
 """
 
 from __future__ import annotations
@@ -25,14 +24,16 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..constants import NLIMBS, P
+from ..constants import MONT_R_MOD_P, P
 from ..host import field as HF
 from . import limbs as L
 
+El = L.El
+
 
 class Fq2(NamedTuple):
-    c0: jnp.ndarray  # (16, *batch)
-    c1: jnp.ndarray
+    c0: El
+    c1: El
 
 
 class Fq6(NamedTuple):
@@ -51,20 +52,14 @@ class Fq12(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _stack(arrs):
-    return jnp.stack(arrs, axis=1)
-
-
-def _unstack(arr, n):
-    return [arr[:, i] for i in range(n)]
-
-
 def fq2_stack(elems):
-    return Fq2(_stack([e.c0 for e in elems]), _stack([e.c1 for e in elems]))
+    return Fq2(
+        L.stack([e.c0 for e in elems]), L.stack([e.c1 for e in elems])
+    )
 
 
 def fq2_unstack(e: Fq2, n: int):
-    return [Fq2(a, b) for a, b in zip(_unstack(e.c0, n), _unstack(e.c1, n))]
+    return [Fq2(a, b) for a, b in zip(L.unstack(e.c0, n), L.unstack(e.c1, n))]
 
 
 def fq6_stack(elems):
@@ -89,20 +84,14 @@ def fq6_unstack(e: Fq6, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _mont_const(x: int) -> jnp.ndarray:
-    """Host int -> (16,) Montgomery-form limb constant."""
-    from ..constants import MONT_R_MOD_P
-
-    return L.const_limbs((x * MONT_R_MOD_P) % P)
+def mont_const(x: int) -> El:
+    """Host int -> (18,) Montgomery-form constant El."""
+    return L.const_el((x * MONT_R_MOD_P) % P)
 
 
-def const_fq2(value: tuple, like: jnp.ndarray) -> Fq2:
-    """(c0, c1) host ints -> Montgomery Fq2 broadcast against `like`."""
-    shape = (NLIMBS,) + (1,) * (like.ndim - 1)
-    return Fq2(
-        _mont_const(value[0]).reshape(shape),
-        _mont_const(value[1]).reshape(shape),
-    )
+def const_fq2(value: tuple) -> Fq2:
+    """(c0, c1) host ints -> Montgomery Fq2 constant (auto-broadcasting)."""
+    return Fq2(mont_const(value[0]), mont_const(value[1]))
 
 
 def fq2_zero(batch_shape=()) -> Fq2:
@@ -129,6 +118,28 @@ def fq12_zero(batch_shape=()) -> Fq12:
 
 def fq12_one(batch_shape=()) -> Fq12:
     return Fq12(fq6_one(batch_shape), fq6_zero(batch_shape))
+
+
+# ---------------------------------------------------------------------------
+# retag helpers (scan-carrier bound stabilisation)
+# ---------------------------------------------------------------------------
+
+
+_RETAG_LMAX = 1 << 16  # carriers may hold one lazy-add level
+
+
+def fq2_retag(a: Fq2, vmax: int = L.STD_BOUND) -> Fq2:
+    return Fq2(
+        L.retag(a.c0, vmax, _RETAG_LMAX), L.retag(a.c1, vmax, _RETAG_LMAX)
+    )
+
+
+def fq6_retag(a: Fq6, vmax: int = L.STD_BOUND) -> Fq6:
+    return Fq6(*[fq2_retag(c, vmax) for c in a])
+
+
+def fq12_retag(a: Fq12, vmax: int = L.STD_BOUND) -> Fq12:
+    return Fq12(fq6_retag(a.c0, vmax), fq6_retag(a.c1, vmax))
 
 
 # ---------------------------------------------------------------------------
@@ -160,42 +171,46 @@ def fq2_mul(a: Fq2, b: Fq2) -> Fq2:
     """Karatsuba: 3 leaf muls in one batched mont_mul."""
     sa = L.add_mod(a.c0, a.c1)
     sb = L.add_mod(b.c0, b.c1)
-    prods = L.mont_mul(_stack([a.c0, a.c1, sa]), _stack([b.c0, b.c1, sb]))
-    t0, t1, t2 = _unstack(prods, 3)
+    prods = L.mont_mul(L.stack([a.c0, a.c1, sa]), L.stack([b.c0, b.c1, sb]))
+    t0, t1, t2 = L.unstack(prods, 3)
     return Fq2(L.sub_mod(t0, t1), L.sub_mod(L.sub_mod(t2, t0), t1))
 
 
 def fq2_sq(a: Fq2) -> Fq2:
-    """(a0+a1)(a0-a1) and 2*a0*a1 — 2 leaf muls in one call."""
+    """(a0+a1)(a0-a1) and a0*2a1 — 2 leaf muls in one call."""
     s = L.add_mod(a.c0, a.c1)
     d = L.sub_mod(a.c0, a.c1)
-    prods = L.mont_mul(_stack([s, a.c0]), _stack([d, L.add_mod(a.c1, a.c1)]))
-    t0, t1 = _unstack(prods, 2)
+    prods = L.mont_mul(
+        L.stack([s, a.c0]), L.stack([d, L.add_mod(a.c1, a.c1)])
+    )
+    t0, t1 = L.unstack(prods, 2)
     return Fq2(t0, t1)
 
 
-def fq2_mul_fq(a: Fq2, s: jnp.ndarray) -> Fq2:
-    prods = L.mont_mul(_stack([a.c0, a.c1]), _stack([s, s]))
-    t0, t1 = _unstack(prods, 2)
+def fq2_mul_fq(a: Fq2, s: El) -> Fq2:
+    prods = L.mont_mul(L.stack([a.c0, a.c1]), L.stack([s, s]))
+    t0, t1 = L.unstack(prods, 2)
     return Fq2(t0, t1)
 
 
 def fq2_mul_small(a: Fq2, k: int) -> Fq2:
-    return Fq2(mul_small(a.c0, k), mul_small(a.c1, k))
+    return Fq2(L.mul_small(a.c0, k), L.mul_small(a.c1, k))
 
 
 def fq2_mul_xi(a: Fq2) -> Fq2:
     """Multiply by xi = 9 + i: (9 c0 - c1, c0 + 9 c1)."""
-    n0 = mul_small(a.c0, 9)
-    n1 = mul_small(a.c1, 9)
+    n0 = L.mul_small(a.c0, 9)
+    n1 = L.mul_small(a.c1, 9)
     return Fq2(L.sub_mod(n0, a.c1), L.add_mod(a.c0, n1))
 
 
 def fq2_inv(a: Fq2) -> Fq2:
-    norm = L.add_mod(L.mont_mul(a.c0, a.c0), L.mont_mul(a.c1, a.c1))
+    norm = L.add_mod(L.mont_sqr(a.c0), L.mont_sqr(a.c1))
     inv = L.inv_mod(norm)
-    prods = L.mont_mul(_stack([a.c0, L.neg_mod(a.c1)]), _stack([inv, inv]))
-    t0, t1 = _unstack(prods, 2)
+    prods = L.mont_mul(
+        L.stack([a.c0, L.neg_mod(a.c1)]), L.stack([inv, inv])
+    )
+    t0, t1 = L.unstack(prods, 2)
     return Fq2(t0, t1)
 
 
@@ -211,27 +226,8 @@ def fq2_select(mask, t: Fq2, f: Fq2) -> Fq2:
     return Fq2(L.select(mask, t.c0, f.c0), L.select(mask, t.c1, f.c1))
 
 
-# small-integer multiple with binary-ladder reduction back to <= 2p
-_P16 = L.const_limbs(16 * P, NLIMBS + 1)
-_P8 = L.const_limbs(8 * P, NLIMBS + 1)
-_P4 = L.const_limbs(4 * P, NLIMBS + 1)
-_P2_17 = L.const_limbs(2 * P, NLIMBS + 1)
-
-
-def mul_small(a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """a * k for a small positive constant k <= 15 (a <= 2p -> out <= 2p).
-
-    Bound: s = k*a <= 30p < 32p; the 16p/8p/4p/2p conditional-subtract
-    ladder reduces any value < 32p to <= 2p."""
-    assert 0 < k <= 15
-    s = L.carry(a * jnp.uint32(k), NLIMBS + 1)
-    for m in (_P16, _P8, _P4, _P2_17):
-        s = L.cond_sub(s, m)
-    return s[:NLIMBS]
-
-
 # ---------------------------------------------------------------------------
-# Fq6 arithmetic (Karatsuba-style, 6 Fq2 muls per mul, batched)
+# Fq6 arithmetic (Toom-style interpolation, 6 Fq2 muls per mul, batched)
 # ---------------------------------------------------------------------------
 
 
@@ -248,9 +244,8 @@ def fq6_neg(a: Fq6) -> Fq6:
 
 
 def fq6_mul(a: Fq6, b: Fq6) -> Fq6:
-    """Toom-style interpolation (same identity as host fq6_mul): 6 Fq2 muls
-    [t0=a0b0, t1=a1b1, t2=a2b2, u0=(a1+a2)(b1+b2), u1=(a0+a1)(b0+b1),
-     u2=(a0+a2)(b0+b2)] gathered into one batched fq2_mul (18 leaves)."""
+    """Same interpolation identity as the host oracle's fq6_mul: 6 Fq2 muls
+    gathered into one batched fq2_mul (18 leaves in one mont_mul)."""
     astack = fq2_stack(
         [
             a.c0,
@@ -288,13 +283,8 @@ def fq6_mul_by_v(a: Fq6) -> Fq6:
 
 def fq6_mul_fq2(a: Fq6, s: Fq2) -> Fq6:
     st = fq2_stack([s, s, s])
-    r = fq2_mul(fq6_to_stack(a), st)
-    p0, p1, p2 = fq2_unstack(r, 3)
+    p0, p1, p2 = fq2_unstack(fq2_mul(fq2_stack([a.c0, a.c1, a.c2]), st), 3)
     return Fq6(p0, p1, p2)
-
-
-def fq6_to_stack(a: Fq6) -> Fq2:
-    return fq2_stack([a.c0, a.c1, a.c2])
 
 
 def fq6_inv(a: Fq6) -> Fq6:
@@ -347,16 +337,15 @@ def fq12_mul(a: Fq12, b: Fq12) -> Fq12:
 
 
 def fq12_sq(a: Fq12) -> Fq12:
-    """Complex-style squaring: c0' = (c0+c1)(c0+v*c1) - t - v*t, c1' = 2t
-    with t = c0*c1 — 2 Fq6 muls in one batched call."""
-    t_and_u = fq6_unstack(
+    """Complex-style squaring: t = c0 c1; c0' = (c0+c1)(c0+v c1) - t - v t;
+    c1' = 2t — 2 Fq6 muls in one batched call."""
+    t, u = fq6_unstack(
         fq6_mul(
             fq6_stack([a.c0, fq6_add(a.c0, a.c1)]),
             fq6_stack([a.c1, fq6_add(a.c0, fq6_mul_by_v(a.c1))]),
         ),
         2,
     )
-    t, u = t_and_u
     c0 = fq6_sub(fq6_sub(u, t), fq6_mul_by_v(t))
     c1 = fq6_add(t, t)
     return Fq12(c0, c1)
@@ -382,33 +371,28 @@ def fq12_eq(a: Fq12, b: Fq12) -> jnp.ndarray:
 
 
 def fq12_is_one(a: Fq12) -> jnp.ndarray:
-    batch = a.c0.c0.c0.shape[1:]
+    batch = a.c0.c0.c0.batch_shape
     return fq12_eq(a, fq12_one(batch))
 
 
 def fq12_select(mask, t: Fq12, f: Fq12) -> Fq12:
-    return Fq12(
-        fq6_select(mask, t.c0, f.c0), fq6_select(mask, t.c1, f.c1)
-    )
+    return Fq12(fq6_select(mask, t.c0, f.c0), fq6_select(mask, t.c1, f.c1))
 
 
 # ---------------------------------------------------------------------------
 # Frobenius endomorphism (coefficients precomputed from the host oracle)
 # ---------------------------------------------------------------------------
 
-
-def _frob_tables():
-    tables = {}
-    for k in (1, 2, 3):
-        tables[k] = (
-            HF.FROB_GAMMA_V[k],
-            HF.FROB_GAMMA_V2[k],
-            HF.FROB_GAMMA_W[k],
-        )
-    return tables
-
-
-_FROB = _frob_tables()
+_FROB = {
+    k: (
+        HF.FROB_GAMMA_V[k],
+        HF.FROB_GAMMA_V2[k],
+        HF.FROB_GAMMA_W[k],
+        HF.fq2_mul(HF.FROB_GAMMA_V[k], HF.FROB_GAMMA_W[k]),
+        HF.fq2_mul(HF.FROB_GAMMA_V2[k], HF.FROB_GAMMA_W[k]),
+    )
+    for k in (1, 2, 3)
+}
 
 
 def _fq2_frob(a: Fq2, k: int) -> Fq2:
@@ -417,32 +401,26 @@ def _fq2_frob(a: Fq2, k: int) -> Fq2:
 
 def fq12_frob(a: Fq12, k: int) -> Fq12:
     """a^(p^k) for k in {1, 2, 3}."""
-    gv, gv2, gw = _FROB[k]
-    like = a.c0.c0.c0
-    gv_c = const_fq2(gv, like)
-    gv2_c = const_fq2(gv2, like)
-    gw_c = const_fq2(gw, like)
-
+    gv, gv2, gw, gvw, gv2w = (const_fq2(g) for g in _FROB[k])
     c0 = Fq6(
         _fq2_frob(a.c0.c0, k),
-        fq2_mul(_fq2_frob(a.c0.c1, k), gv_c),
-        fq2_mul(_fq2_frob(a.c0.c2, k), gv2_c),
+        fq2_mul(_fq2_frob(a.c0.c1, k), gv),
+        fq2_mul(_fq2_frob(a.c0.c2, k), gv2),
     )
     c1 = Fq6(
-        fq2_mul(_fq2_frob(a.c1.c0, k), gw_c),
-        fq2_mul(_fq2_frob(a.c1.c1, k), fq2_mul(gv_c, gw_c)),
-        fq2_mul(_fq2_frob(a.c1.c2, k), fq2_mul(gv2_c, gw_c)),
+        fq2_mul(_fq2_frob(a.c1.c0, k), gw),
+        fq2_mul(_fq2_frob(a.c1.c1, k), gvw),
+        fq2_mul(_fq2_frob(a.c1.c2, k), gv2w),
     )
     return Fq12(c0, c1)
 
 
 # ---------------------------------------------------------------------------
-# host <-> device conversion (tuples of ints <-> Montgomery limb tensors)
+# host <-> device conversion
 # ---------------------------------------------------------------------------
 
 
 def fq2_from_ints(vals) -> Fq2:
-    """vals: (c0, c1) ints or nested lists with trailing pair structure."""
     c0, c1 = vals
     return Fq2(L.to_mont(L.from_ints(c0)), L.to_mont(L.from_ints(c1)))
 
@@ -453,14 +431,9 @@ def fq2_to_ints(a: Fq2):
 
 def fq12_from_host(h, batch_shape=()) -> Fq12:
     """Host oracle Fq12 tuple -> device Fq12 (broadcast to batch_shape)."""
-    import numpy as np
 
     def conv(x):
-        arr = L.to_mont(L.from_ints(x))
-        return jnp.broadcast_to(
-            arr.reshape((NLIMBS,) + (1,) * len(batch_shape)),
-            (NLIMBS,) + tuple(batch_shape),
-        )
+        return L.bcast_to(L.to_mont(L.from_ints(x)), batch_shape)
 
     (a0, a1, a2), (b0, b1, b2) = h
     return Fq12(
@@ -478,9 +451,6 @@ def fq12_from_host(h, batch_shape=()) -> Fq12:
 
 
 def fq12_to_host(a: Fq12):
-    """Device Fq12 -> host oracle tuples (batch element 0 if batched, or
-    object arrays for full batches)."""
-
     def conv(x):
         return L.to_ints(L.from_mont(x))
 

@@ -107,15 +107,29 @@ def pad_messages_host(messages: list[bytes]) -> np.ndarray:
     return out
 
 
-def digest_words_to_limbs(digest: jnp.ndarray) -> jnp.ndarray:
-    """(*batch, 8) BE uint32 digest words -> (16, *batch) LE 16-bit limbs.
+def digest_words_to_limbs(digest: jnp.ndarray):
+    """(*batch, 8) BE uint32 digest words -> limbs.El of the 256-bit value.
 
-    Word j holds bits [256-32(j+1), 256-32j); limb order is little-endian.
+    Repacks into the engine's 15-bit little-endian limbs: limb i holds
+    value bits [15i, 15i+15), sourced from the little-endian word view
+    (words_le[j] = digest[..., 7-j] holds bits [32j, 32j+32)).
     """
-    hi = digest >> 16
-    lo = digest & jnp.uint32(0xFFFF)
+    from ..constants import LIMB_BITS, NLIMBS
+    from ..fields import limbs as L
+
+    mask = jnp.uint32((1 << LIMB_BITS) - 1)
     limbs = []
-    for i in range(16):  # limb i = bits [16i, 16i+16)
-        word = 7 - i // 2
-        limbs.append(lo[..., word] if i % 2 == 0 else hi[..., word])
-    return jnp.stack(limbs, axis=0)
+    for i in range(NLIMBS):
+        lo_bit = LIMB_BITS * i
+        j0, off = lo_bit // 32, lo_bit % 32
+        if j0 >= 8:
+            limbs.append(jnp.zeros(digest.shape[:-1], jnp.uint32))
+            continue
+        w0 = digest[..., 7 - j0]
+        piece = w0 >> off
+        if off + LIMB_BITS > 32 and j0 + 1 < 8:
+            w1 = digest[..., 7 - (j0 + 1)]
+            piece = piece | (w1 << (32 - off))
+        limbs.append(piece & mask)
+    arr = jnp.stack(limbs, axis=0)
+    return L.El(arr, 1 << 256, 1 << LIMB_BITS)

@@ -16,35 +16,13 @@ unresolved; callers fall back to the host search for those (the returned
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import B as CURVE_B
-from ..constants import LAST_MULTIPLE_OF_P_BELOW_2_256, NLIMBS, P
+from ..constants import LAST_MULTIPLE_OF_P_BELOW_2_256, P
 from ..fields import limbs as L
-from ..fields import tower as T
 from . import sha256 as SHA
-
-_5P = L.const_limbs(LAST_MULTIPLE_OF_P_BELOW_2_256)
-_4P = L.const_limbs(4 * P)
-_2P = L.const_limbs(2 * P)
-_1P = L.const_limbs(P)
-
-
-def _lt_const(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """v < m (m a (n,) constant) via the borrow chain."""
-    mb = L.bcast(m, v) * jnp.ones_like(v)
-
-    def step(borrow, pair):
-        vk, mk = pair
-        t = vk + jnp.uint32(1 << 16) - mk - borrow
-        return jnp.uint32(1) - (t >> 16), None
-
-    borrow_out, _ = jax.lax.scan(
-        step, jnp.zeros(v.shape[1:], jnp.uint32), (v, mb)
-    )
-    return borrow_out != 0
 
 
 def prepare_blocks_host(messages: list[bytes]):
@@ -68,8 +46,8 @@ def hash_to_g1_batch(blocks: jnp.ndarray, ctr_word: int, ctr_shift: int,
     """Device search over K counters.
 
     blocks: (B, nblocks, 16) uint32 from `prepare_blocks_host` (ctr = 0).
-    Returns (x_mont, y_mont, found, ctr): Montgomery affine G1 coords of
-    shape (16, B), a (B,) bool mask, and the chosen counters (B,) uint32.
+    Returns (x_mont, y_mont, found, ctr): Montgomery affine G1 coords
+    (limbs.El of shape (18, B)), a (B,) bool mask, (B,) uint32 counters.
     """
     Bn, nblocks, _ = blocks.shape
     nb_word = ctr_word // 16
@@ -85,20 +63,21 @@ def hash_to_g1_batch(blocks: jnp.ndarray, ctr_word: int, ctr_shift: int,
     blocks_k = blocks_k + bump[None]
 
     digests = SHA.sha256_blocks(blocks_k)  # (B, K, 8)
-    attempted = SHA.digest_words_to_limbs(digests)  # (16, B, K)
+    attempted = SHA.digest_words_to_limbs(digests)  # El (18, B, K)
 
-    accept = _lt_const(attempted, _5P)  # rejection bound (hash.rs:49-51)
+    # rejection bound (hash.rs:49-51)
+    accept = L.lt_const(attempted, LAST_MULTIPLE_OF_P_BELOW_2_256)
 
-    # reduce mod p: attempted < 2^256 < 6p
+    # reduce mod p: attempted < 2^256 < 8p
     x = attempted
-    for m in (_4P, _2P, _1P):
+    for m in (4 * P, 2 * P, P):
         x = L.cond_sub(x, m)
     x_mont = L.to_mont(x)
 
     # y^2 = x^3 + 3; sqrt candidate via x^((p+1)/4)
     y2 = L.add_mod(
         L.mont_mul(L.mont_sqr(x_mont), x_mont),
-        T.mul_small(L.mont_one(x_mont.shape[1:]), CURVE_B),
+        L.mul_small(L.mont_one(x_mont.batch_shape), CURVE_B),
     )
     s = L.sqrt_candidate(y2)
     is_qr = L.eq(L.mont_sqr(s), y2)
@@ -106,23 +85,27 @@ def hash_to_g1_batch(blocks: jnp.ndarray, ctr_word: int, ctr_shift: int,
 
     # even-y selection (sign byte 0x02, utils.rs:56-63)
     s_canon = L.from_mont(s)
-    odd = (s_canon[0] & 1) != 0
+    odd = (s_canon.arr[0] & 1) != 0
     y_mont = L.select(odd, L.neg_mod(s), s)
 
     # first valid counter per message
     found = jnp.any(valid, axis=-1)  # (B,)
     first = jnp.argmax(valid, axis=-1).astype(jnp.uint32)  # (B,)
     idx = first[None, :, None]
-    x_sel = jnp.take_along_axis(x_mont, idx, axis=2)[:, :, 0]
-    y_sel = jnp.take_along_axis(y_mont, idx, axis=2)[:, :, 0]
+    x_sel = L.elmap(
+        lambda a: jnp.take_along_axis(a, idx, axis=2)[:, :, 0], x_mont
+    )
+    y_sel = L.elmap(
+        lambda a: jnp.take_along_axis(a, idx, axis=2)[:, :, 0], y_mont
+    )
     return x_sel, y_sel, found, first
 
 
 def hash_to_g1_device(messages: list[bytes], k_candidates: int = 8):
     """End-to-end batched hash-to-G1 with host fallback for rare misses.
 
-    Returns (x_mont, y_mont) device arrays of shape (16, B), bit-exact
-    with the host `hash_to_g1_affine` for every message.
+    Returns (x_mont, y_mont) limbs.El of shape (18, B), bit-exact with the
+    host `hash_to_g1_affine` for every message.
     """
     from .tai import hash_to_g1_affine
 
@@ -138,8 +121,9 @@ def hash_to_g1_device(messages: list[bytes], k_candidates: int = 8):
             ax, ay = hash_to_g1_affine(messages[int(i)])
             xs_fix.append(ax)
             ys_fix.append(ay)
-        fx = L.to_mont(L.from_ints(xs_fix))
-        fy = L.to_mont(L.from_ints(ys_fix))
-        x = x.at[:, jnp.asarray(misses)].set(fx)
-        y = y.at[:, jnp.asarray(misses)].set(fy)
+        fx = L.to_mont(L.from_ints(xs_fix, vmax=P))
+        fy = L.to_mont(L.from_ints(ys_fix, vmax=P))
+        midx = jnp.asarray(misses)
+        x = L.El(x.arr.at[:, midx].set(fx.arr), max(x.vmax, fx.vmax), x.lmax)
+        y = L.El(y.arr.at[:, midx].set(fy.arr), max(y.vmax, fy.vmax), y.lmax)
     return x, y

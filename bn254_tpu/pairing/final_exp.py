@@ -26,11 +26,12 @@ _U_BITS = [int(b) for b in bin(U)[2:]][1:]  # MSB consumed by init
 def exp_u(f: Fq12) -> Fq12:
     """f^u by square-and-multiply over the fixed bits of u."""
     bits = jnp.array(_U_BITS, dtype=jnp.uint32)
+    f = T.fq12_retag(f)
 
     def body(acc, bit):
         acc = T.fq12_sq(acc)
         acc = T.fq12_select(bit != 0, T.fq12_mul(acc, f), acc)
-        return acc, None
+        return T.fq12_retag(acc), None
 
     acc, _ = jax.lax.scan(body, f, bits)
     return acc

@@ -162,6 +162,13 @@ def _add_step(t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
     return ProjG2(x_out, y_out, z_out), (a, b, c)
 
 
+def _retag_proj(p: ProjG2, vmax=None) -> ProjG2:
+    from ..fields.limbs import STD_BOUND
+
+    v = vmax or STD_BOUND
+    return ProjG2(T.fq2_retag(p.x, v), T.fq2_retag(p.y, v), T.fq2_retag(p.z, v))
+
+
 def _select_proj(mask, t: ProjG2, f: ProjG2) -> ProjG2:
     return ProjG2(
         T.fq2_select(mask, t.x, f.x),
@@ -172,13 +179,12 @@ def _select_proj(mask, t: ProjG2, f: ProjG2) -> ProjG2:
 
 def _twist_frob(qx: Fq2, qy: Fq2, power: int):
     """pi^power on affine twist coords (power in {1, 2})."""
-    like = qx.c0
     if power == 1:
-        cx = T.const_fq2(TWIST_FROB_X, like)
-        cy = T.const_fq2(TWIST_FROB_Y, like)
+        cx = T.const_fq2(TWIST_FROB_X)
+        cy = T.const_fq2(TWIST_FROB_Y)
         return T.fq2_mul(T.fq2_conj(qx), cx), T.fq2_mul(T.fq2_conj(qy), cy)
-    cx = T.const_fq2(TWIST_FROB_X2, like)
-    cy = T.const_fq2(TWIST_FROB_Y2, like)
+    cx = T.const_fq2(TWIST_FROB_X2)
+    cy = T.const_fq2(TWIST_FROB_Y2)
     return T.fq2_mul(qx, cx), T.fq2_mul(qy, cy)
 
 
@@ -195,9 +201,9 @@ def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     Returns the pre-final-exponentiation Fq12 Miller value (line-scaled;
     subfield factors differ from the oracle until final exp).
     """
-    batch = xp.shape[1:]
-    f0 = T.fq12_one(batch)
-    t0 = ProjG2(qx, qy, T.fq2_one(batch))
+    batch = xp.batch_shape
+    f0 = T.fq12_retag(T.fq12_one(batch))
+    t0 = _retag_proj(ProjG2(qx, qy, T.fq2_one(batch)))
 
     bits = jnp.array(_ATE_BITS, dtype=jnp.uint32)
 
@@ -211,7 +217,7 @@ def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
         take = bit != 0
         f = T.fq12_select(take, f_added, f)
         t = _select_proj(take, t_added, t)
-        return (f, t), None
+        return (T.fq12_retag(f), _retag_proj(t)), None
 
     (f, t), _ = jax.lax.scan(body, (f0, t0), bits)
 

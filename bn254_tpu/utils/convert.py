@@ -50,11 +50,7 @@ def g2_const_affine(point_jac, batch_shape=()):
     aff = HC.g2_to_affine(point_jac)
 
     def bc(v):
-        arr = L.to_mont(L.from_ints(v))
-        return jnp.broadcast_to(
-            arr.reshape((NLIMBS,) + (1,) * len(batch_shape)),
-            (NLIMBS,) + tuple(batch_shape),
-        )
+        return L.bcast_to(L.to_mont(L.from_ints(v)), batch_shape)
 
     return (
         T.Fq2(bc(aff[0][0]), bc(aff[0][1])),

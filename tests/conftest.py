@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the pairing graphs take minutes to compile
+# cold; cached recompiles are near-instant across test sessions.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
