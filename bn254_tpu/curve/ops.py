@@ -75,7 +75,8 @@ class FqOps:
 
     @staticmethod
     def retag(a, vmax):
-        return L.retag(a, vmax, 1 << 16)
+        e = L.norm_limbs(a) if a.lmax > (1 << 16) else a
+        return L.retag(e, vmax, 1 << 16)
 
 
 class Fq2Ops:

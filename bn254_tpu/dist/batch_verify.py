@@ -58,6 +58,11 @@ def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     final exponentiation (exact per-tuple accept/reject semantics,
     matching reference `verify` one-by-one).
     """
+    px, py, qx, qy = _independent_pairs(hx, hy, sx, sy, pqx, pqy)
+    return DP.pairing_check(px, py, qx, qy)
+
+
+def _independent_pairs(hx, hy, sx, sy, pqx, pqy):
     B = hx.batch_shape[-1]
     # pair axis in front of the batch axis: (18, 2, B)
     px = L.stack([hx, sx])
@@ -65,7 +70,14 @@ def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     ngx, ngy = _neg_g2_one((B,))
     qx = T.fq2_stack([pqx, ngx])
     qy = T.fq2_stack([pqy, ngy])
-    return DP.pairing_check(px, py, qx, qy)
+    return px, py, qx, qy
+
+
+def verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
+    """Staged-pipeline variant of `verify_batch_independent` (same result,
+    several small jitted programs instead of one huge one)."""
+    px, py, qx, qy = _independent_pairs(hx, hy, sx, sy, pqx, pqy)
+    return DP.pairing_check_staged(px, py, qx, qy)
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +120,41 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
     return T.fq12_is_one(FE.final_exp(total))
 
 
+_weight_jit = jax.jit(
+    lambda hx, hy, sx, sy, w: _weight_and_sum(hx, hy, sx, sy, w)
+)
+
+
+def _weight_and_sum(hx, hy, sx, sy, w):
+    h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
+    s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
+    wh = DG1.scalar_mul(h_j, w)
+    ws = DG1.scalar_mul(s_j, w)
+    s_sum = _g1_tree_sum(ws)
+    whx, why, _ = DG1.to_affine(wh)
+    ssx, ssy, _ = DG1.to_affine(s_sum)
+    return whx, why, ssx, ssy
+
+
+_fused_combine_jit = jax.jit(
+    lambda f, f_sig: T.fq12_retag(
+        T.fq12_mul(DP.fq12_reduce_mul(f, axis=0), f_sig)
+    )
+)
+
+
+def verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights):
+    """Staged-pipeline variant of `verify_batch_fused`."""
+    from ..pairing.pairing import _is_one_jit, _miller_jit
+
+    whx, why, ssx, ssy = _weight_jit(hx, hy, sx, sy, weights)
+    f = _miller_jit(whx, why, pqx, pqy)
+    ngx, ngy = _neg_g2_one(())
+    f_sig = _miller_jit(ssx, ssy, ngx, ngy)
+    total = _fused_combine_jit(f, f_sig)
+    return _is_one_jit(FE.final_exp_staged(total))
+
+
 def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
     """Tree-sum a batched Jacobian G1 point along a batch axis."""
     taxis = axis + 1
@@ -139,59 +186,106 @@ def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
-    """Build a jitted SPMD fused verifier over `mesh`'s `axis_name` axis.
+def make_sharded_verifier(
+    mesh: Mesh, axis_name: str = "batch", monolithic: bool = False
+):
+    """Build an SPMD fused verifier over `mesh`'s `axis_name` axis.
 
-    Fully sharded pipeline (everything inside shard_map, per shard):
+    Full data-parallel pipeline:
       1. weight application: [w_i]H_i and [w_i]sig_i (local fixed ladders)
       2. local Miller loops over the shard's tuples
       3. shard-local Fq12 tree product
       4. cross-chip Fq12 product all-reduce over ICI/DCN
       5. weighted-signature sum: local tree sum + Jacobian-add all-reduce
-      6. the final 2nd pair e(S, -G2::one) + ONE final exponentiation,
-         executed redundantly on every chip (cheaper than a broadcast).
+      6. the final 2nd pair e(S, -G2::one) + ONE final exponentiation on
+         the replicated reduction results.
 
-    Returns (jitted_fn, in_shardings_applier): call with full-batch device
-    tensors whose trailing batch dim divides the axis size.
+    By default the pipeline is compiled as THREE programs — (1-3) local
+    shard_map, (4-5) collective shard_map, (6) replicated staged final —
+    because this XLA toolchain's compile time is superlinear in program
+    size (a single fused program compiles >10x slower than the pieces).
+    `monolithic=True` builds the single-program variant (everything,
+    collectives included, in one shard_map jit).
+
+    Returns run(hx..sy, pqx, pqy, weights) -> scalar bool: call with
+    full-batch device tensors whose trailing batch dim divides the axis
+    size. Weights may be an El limb tensor or list of ints.
     """
     n_dev = mesh.shape[axis_name]
+    batch_spec = PSpec(None, axis_name)  # (18, B): shard the batch dim
+    rep = PSpec()
 
-    def shard_fn(hx, hy, sx, sy, pqx, pqy, w):
-        bs = hx.batch_shape
+    if monolithic:
 
-        # 1. apply random weights to H and sig (local batch)
-        h_j = J.JPoint(hx, hy, L.mont_one(bs))
-        s_j = J.JPoint(sx, sy, L.mont_one(bs))
-        wh = DG1.scalar_mul(h_j, w)
-        ws = DG1.scalar_mul(s_j, w)
-        whx, why, _ = DG1.to_affine(wh)
+        def shard_fn(hx, hy, sx, sy, pqx, pqy, w):
+            f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w)
+            f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
+            s_all = COLL.jacobian_allreduce_add(
+                s_local, DG1.add, axis_name, n_dev
+            )
+            ssx, ssy, _ = DG1.to_affine(s_all)
+            ngx, ngy = _neg_g2_one(())
+            f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
+            return T.fq12_is_one(FE.final_exp(T.fq12_mul(f_all, f_sig)))
 
-        # 2-4. Miller + local product + cross-chip product reduce
-        f = M.miller_loop(whx, why, pqx, pqy)
-        f_local = DP.fq12_reduce_mul(f, axis=0)
+        sharded = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(batch_spec,) * 7,
+                out_specs=rep,
+                check_vma=False,
+            )
+        )
+
+        def run_mono(hx, hy, sx, sy, pqx, pqy, weights):
+            w = (
+                weights
+                if isinstance(weights, L.El)
+                else CV.scalars_to_device(weights)
+            )
+            assert hx.batch_shape[-1] % n_dev == 0
+            return sharded(hx, hy, sx, sy, pqx, pqy, w)
+
+        return run_mono
+
+    # ---- staged pipeline ----
+
+    def local_fn(hx, hy, sx, sy, pqx, pqy, w):
+        f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w)
+        # re-expose per-shard scalars as a size-1 batch dim so the stage
+        # boundary is an ordinary sharded global array of size n_dev
+        expand = lambda x: x[..., None]
+        f_local = jax.tree_util.tree_map(expand, f_local)
+        s_local = jax.tree_util.tree_map(expand, s_local)
+        return f_local, s_local
+
+    local_jit = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(batch_spec,) * 7,
+            out_specs=batch_spec,
+            check_vma=False,
+        )
+    )
+
+    def reduce_fn(f_local, s_local):
+        squeeze = lambda x: x[..., 0]
+        f_local = jax.tree_util.tree_map(squeeze, f_local)
+        s_local = jax.tree_util.tree_map(squeeze, s_local)
         f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
-
-        # 5. weighted signature sum across the whole batch
-        s_local = _g1_tree_sum(ws)
         s_all = COLL.jacobian_allreduce_add(
             s_local, DG1.add, axis_name, n_dev
         )
         ssx, ssy, _ = DG1.to_affine(s_all)
+        return T.fq12_retag(f_all), ssx, ssy
 
-        # 6. second pair + shared final exponentiation
-        ngx, ngy = _neg_g2_one(())
-        f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
-        ok = T.fq12_is_one(FE.final_exp(T.fq12_mul(f_all, f_sig)))
-        return ok
-
-    batch_spec = PSpec(None, axis_name)  # (18, B): shard the batch dim
-    rep = PSpec()
-
-    sharded = jax.jit(
+    reduce_jit = jax.jit(
         jax.shard_map(
-            shard_fn,
+            reduce_fn,
             mesh=mesh,
-            in_specs=(batch_spec,) * 7,
+            in_specs=(batch_spec, batch_spec),
             out_specs=rep,
             check_vma=False,
         )
@@ -200,6 +294,8 @@ def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
     def run(hx, hy, sx, sy, pqx, pqy, weights):
         """hx..sy: limbs.El (18, B); pqx/pqy: tower.Fq2 of El; weights:
         El limb tensor or a list of ints. Returns a scalar bool."""
+        from ..pairing.pairing import _is_one_jit, _miller_jit
+
         B = hx.batch_shape[-1]
         assert B % n_dev == 0, "batch must divide the mesh axis size"
         w = (
@@ -207,6 +303,30 @@ def make_sharded_verifier(mesh: Mesh, axis_name: str = "batch"):
             if isinstance(weights, L.El)
             else CV.scalars_to_device(weights)
         )
-        return sharded(hx, hy, sx, sy, pqx, pqy, w)
+        f_local, s_local = local_jit(hx, hy, sx, sy, pqx, pqy, w)
+        f_all, ssx, ssy = reduce_jit(f_local, s_local)
+        ngx, ngy = _neg_g2_one(())
+        f_sig = _miller_jit(ssx, ssy, ngx, ngy)
+        total = _fused_combine_scalar_jit(f_all, f_sig)
+        return _is_one_jit(FE.final_exp_staged(total))
 
     return run
+
+
+_fused_combine_scalar_jit = jax.jit(
+    lambda f_all, f_sig: T.fq12_retag(T.fq12_mul(f_all, f_sig))
+)
+
+
+def _local_stage(hx, hy, sx, sy, pqx, pqy, w):
+    """Per-shard work: weight ladders, Miller loops, local reductions."""
+    bs = hx.batch_shape
+    h_j = J.JPoint(hx, hy, L.mont_one(bs))
+    s_j = J.JPoint(sx, sy, L.mont_one(bs))
+    wh = DG1.scalar_mul(h_j, w)
+    ws = DG1.scalar_mul(s_j, w)
+    whx, why, _ = DG1.to_affine(wh)
+    f = M.miller_loop(whx, why, pqx, pqy)
+    f_local = T.fq12_retag(DP.fq12_reduce_mul(f, axis=0))
+    s_local = _g1_tree_sum(ws)
+    return f_local, s_local

@@ -65,7 +65,7 @@ _T_LIMIT = 1 << 538
 # tower-op outputs on STD-bound inputs stay below ~2^263.5 (the worst
 # chain is mul-out -> xi-mul (x9 + sub offset) -> adds), so 2^264 is a
 # stable fixed point.
-STD_BOUND = 1 << 264
+STD_BOUND = 1 << 262
 
 
 # ---------------------------------------------------------------------------
@@ -158,37 +158,44 @@ def _bc2(a: jnp.ndarray, b: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# Carry chains (unrolled, straight-line)
+# Carry chains (lax.scan over the limb axis — tiny traced programs; the
+# XLA-for-TPU toolchain's compile time is superlinear in program size, so
+# every repeated limb chain is expressed as a loop, not unrolled code)
 # ---------------------------------------------------------------------------
 
 
-def _carry_u(cols: jnp.ndarray, out_len: int, col_max: int) -> jnp.ndarray:
-    """Unsigned carry propagation: (K, *b) columns -> (out_len, *b) limbs.
-
-    col_max bounds every column value; the final carry must vanish by the
-    caller's value bound (asserted via out_len capacity)."""
-    assert col_max < 1 << 31
+def _pad_cols(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
     k = cols.shape[0]
-    c = jnp.zeros(cols.shape[1:], U32)
-    limbs = []
-    for i in range(out_len):
-        t = (cols[i] + c) if i < k else c
-        limbs.append(t & MASK)
-        c = t >> LIMB_BITS
-    return jnp.stack(limbs, axis=0)
+    if out_len > k:
+        pad = jnp.zeros((out_len - k,) + cols.shape[1:], cols.dtype)
+        cols = jnp.concatenate([cols, pad], axis=0)
+    return cols[:out_len]
+
+
+def _carry_u(cols: jnp.ndarray, out_len: int, col_max: int) -> jnp.ndarray:
+    """Unsigned carry propagation: (K, *b) columns -> (out_len, *b) limbs."""
+    assert col_max < 1 << 31
+    cols = _pad_cols(cols, out_len)
+
+    def step(c, col):
+        t = col + c
+        return t >> LIMB_BITS, t & MASK
+
+    _, limbs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], U32), cols)
+    return limbs
 
 
 def _carry_s(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Signed carry propagation for int32 columns (arithmetic shifts
     propagate negative carries); total value must be non-negative."""
-    k = cols.shape[0]
-    c = jnp.zeros(cols.shape[1:], I32)
-    limbs = []
-    for i in range(out_len):
-        t = (cols[i] + c) if i < k else c
-        limbs.append((t & I32(LIMB_MASK)).astype(U32))
-        c = t >> LIMB_BITS
-    return jnp.stack(limbs, axis=0)
+    cols = _pad_cols(cols.astype(I32), out_len)
+
+    def step(c, col):
+        t = col + c
+        return t >> LIMB_BITS, (t & I32(LIMB_MASK)).astype(U32)
+
+    _, limbs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], I32), cols)
+    return limbs
 
 
 def norm_limbs(a: El) -> El:
@@ -217,11 +224,9 @@ def double_mod(a: El) -> El:
 
 
 def _sub_offset(bound: int) -> tuple[int, El]:
-    """Smallest 2^j * p >= bound (static)."""
-    j = 0
-    while (P << j) < bound:
-        j += 1
-    c = P << j
+    """Smallest multiple of p >= bound (static, exact — overshoot < p)."""
+    k = -(-bound // P)
+    c = k * P
     return c, const_el(c)
 
 
@@ -264,32 +269,59 @@ R2_EL = const_el(MONT_R2_MOD_P)
 ONE_EL = const_el(1)
 
 
+def _skew_sum(mat: jnp.ndarray, ncols: int, offset: int) -> jnp.ndarray:
+    """sum_i shift(mat[i], by i+offset) -> (ncols, *batch) columns.
+
+    The skew trick: pad each row to width W = ncols+1, flatten, and re-view
+    as width-ncols rows — flat index W*i + j + offset lands at (row i,
+    col i+j+offset), realising the per-row diagonal shift with a single
+    pad + reshape + slice + reshape + sum (5 ops total instead of one
+    padded add per row). Terms with i+j+offset >= ncols are masked out
+    up front (they would alias into the next row's view).
+    """
+    n, m = mat.shape[0], mat.shape[1]
+    batch = mat.shape[2:]
+    w = ncols + 1
+    if n - 1 + m - 1 + offset >= ncols:
+        keep = np.zeros((n, m), dtype=np.uint32)
+        for i in range(n):
+            for j in range(m):
+                keep[i, j] = 1 if i + j + offset < ncols else 0
+        mat = mat * jnp.asarray(keep).reshape((n, m) + (1,) * len(batch))
+    assert m + offset <= w
+    padded = jnp.pad(
+        mat, [(0, 0), (offset, w - m - offset)] + [(0, 0)] * len(batch)
+    )
+    flat = padded.reshape((n * w,) + batch)
+    rows = flat[: n * ncols].reshape((n, ncols) + batch)
+    return jnp.sum(rows, axis=0)
+
+
 def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
     """Column sums of a*b (no carries): (n,*ba) x (m,*bb) -> (ncols, *b)."""
-    n, m = a.shape[0], b.shape[0]
     aa, ba = _bc2(a, b)
     prod = aa[:, None] * ba[None, :]  # (n, m, *batch) uint32, exact
     lo = prod & MASK
     hi = prod >> LIMB_BITS
-    shape = (ncols,) + jnp.broadcast_shapes(aa.shape[1:], ba.shape[1:])
-    cols = jnp.zeros(shape, U32)
-    for i in range(n):
-        w = min(m, ncols - i)
-        if w > 0:
-            cols = cols.at[i : i + w].add(lo[i, :w])
-        w2 = min(m, ncols - i - 1)
-        if w2 > 0:
-            cols = cols.at[i + 1 : i + 1 + w2].add(hi[i, :w2])
-    return cols
+    return _skew_sum(lo, ncols, 0) + _skew_sum(hi, ncols, 1)
+
+
+# -p^{-1} mod 2^15 for the per-limb CIOS reduction digit
+PINV0 = np.uint32((-pow(P, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
 
 
 def mont_mul(a: El, b: El) -> El:
-    """REDC(a*b) with R = 2^270.
+    """REDC(a*b) with R = 2^270, interleaved CIOS as a scan over a's limbs.
+
+    Per scan step: T += a_i * b; m_i = -T[0]/p mod 2^15; T += m_i * p;
+    T >>= one limb. After 18 steps T = (a*b + m*p) / R. Column values
+    stay below 2^22 (lazy accumulation, no per-step carries); one final
+    carry chain normalises the limbs. No conditional subtraction.
 
     Inputs may be limb-lazy (limbs < 2^16 used directly; lazier inputs
-    are carry-normalised first) and value-lazy (values < 2^262).
+    are carry-normalised first) and value-lazy (values < ~2^262).
     Output: limbs < 2^15, value < a.vmax*b.vmax/R + p — in practice
-    < 2^258 for all closed-loop uses. No conditional subtraction.
+    < 2^258 for all closed-loop uses.
     """
     if a.lmax * b.lmax > _PROD_LIMIT:
         a = norm_limbs(a)
@@ -298,25 +330,59 @@ def mont_mul(a: El, b: El) -> El:
     assert a.lmax * b.lmax <= _PROD_LIMIT
     assert a.vmax * b.vmax + MONT_R * P <= _T_LIMIT
 
-    n2 = 2 * NLIMBS
-    # column bound for the T accumulation (hi parts < lmax^2 / 2^15)
-    t_cols = _mul_cols(a.arr, b.arr, n2)
-    t = _carry_u(t_cols, n2, _COL_LIMIT)
+    aa, bb = _bc2(a.arr, b.arr)
+    shape = jnp.broadcast_shapes(aa.shape, bb.shape)
+    batch = shape[1:]
+    aa = jnp.broadcast_to(aa, shape)
+    bb = jnp.broadcast_to(bb, shape)
+    p_arr = _bc(P_EL.arr, 1 + len(batch))
 
-    nd = t.ndim
-    m_cols = _mul_cols(t[:NLIMBS], _bc(PINV_EL.arr, nd), NLIMBS)
-    m = _carry_u(m_cols, NLIMBS, _COL_LIMIT)
+    t0 = jnp.zeros((NLIMBS + 1,) + batch, U32)
+    zrow = jnp.zeros((1,) + batch, U32)
 
-    mp_cols = _mul_cols(m, _bc(P_EL.arr, nd), n2)
-    total = _carry_u(t + mp_cols, n2, _COL_LIMIT)
+    def step(t, a_i):
+        prod = a_i[None] * bb  # (18, *batch), exact in uint32
+        t = t.at[:NLIMBS].add(prod & MASK)
+        t = t.at[1 : NLIMBS + 1].add(prod >> LIMB_BITS)
+        m_i = (t[0] * PINV0) & MASK  # (*batch,)
+        prod2 = m_i[None] * p_arr
+        t = t.at[:NLIMBS].add(prod2 & MASK)
+        t = t.at[1 : NLIMBS + 1].add(prod2 >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS  # t[0] & MASK == 0 by construction
+        t = jnp.concatenate([t[1:], zrow], axis=0)
+        t = t.at[0].add(carry0)
+        return t, None
+
+    t, _ = jax.lax.scan(step, t0, aa)
+    total = _carry_u(t, NLIMBS, _COL_LIMIT)
 
     out_v = a.vmax * b.vmax // MONT_R + P + 1
     assert out_v <= CAPACITY
-    return El(total[NLIMBS:], out_v, 1 << LIMB_BITS)
+    return El(total, out_v, 1 << LIMB_BITS)
 
 
 def mont_sqr(a: El) -> El:
     return mont_mul(a, a)
+
+
+# threshold above which tower ops squeeze values back down (see vreduce)
+VREDUCE_THRESHOLD = 1 << 261
+
+
+def vreduce(a: El) -> El:
+    """Crush the value bound to ~p without changing the residue.
+
+    mont_mul by the plain constant (R mod p) maps stored value s to
+    s * (R mod p) / R ≡ s (mod p), with output bound vmax*p/R + p ≈ p.
+    One leaf multiplication; tower ops apply it only when static bounds
+    exceed VREDUCE_THRESHOLD (the xi-multiplication inflation points), so
+    it costs nothing on the common path.
+    """
+    return mont_mul(a, R_MOD_P_EL)
+
+
+def maybe_vreduce(a: El, threshold: int = VREDUCE_THRESHOLD) -> El:
+    return vreduce(a) if a.vmax > threshold else a
 
 
 # ---------------------------------------------------------------------------
@@ -328,14 +394,16 @@ def cond_sub(a: El, m: int, m_el: El | None = None) -> El:
     """a - m if a >= m else a (m a static int). Requires normalised limbs."""
     a = norm_limbs(a)
     me = m_el if m_el is not None else const_el(m)
-    ma = _bc(me.arr, a.arr.ndim)
-    borrow = jnp.zeros(a.arr.shape[1:], U32)
-    diff = []
-    for i in range(NLIMBS):
-        t = a.arr[i] + U32(1 << LIMB_BITS) - ma[i] - borrow
-        diff.append(t & MASK)
-        borrow = U32(1) - (t >> LIMB_BITS)
-    diff = jnp.stack(diff, axis=0)
+    ma = jnp.broadcast_to(_bc(me.arr, a.arr.ndim), a.arr.shape)
+
+    def step(borrow, pair):
+        av, mv = pair
+        t = av + U32(1 << LIMB_BITS) - mv - borrow
+        return U32(1) - (t >> LIMB_BITS), t & MASK
+
+    borrow, diff = jax.lax.scan(
+        step, jnp.zeros(a.arr.shape[1:], U32), (a.arr, ma)
+    )
     keep = (borrow != 0)[None]  # borrow -> a < m -> keep a
     return El(jnp.where(keep, a.arr, diff), min(a.vmax, max(m, a.vmax - m)),
               1 << LIMB_BITS)
@@ -358,11 +426,16 @@ def canon(a: El) -> El:
 def lt_const(a: El, m: int) -> jnp.ndarray:
     """a < m (batch bool)."""
     a = norm_limbs(a)
-    me = _bc(const_el(m).arr, a.arr.ndim)
-    borrow = jnp.zeros(a.arr.shape[1:], U32)
-    for i in range(NLIMBS):
-        t = a.arr[i] + U32(1 << LIMB_BITS) - me[i] - borrow
-        borrow = U32(1) - (t >> LIMB_BITS)
+    me = jnp.broadcast_to(_bc(const_el(m).arr, a.arr.ndim), a.arr.shape)
+
+    def step(borrow, pair):
+        av, mv = pair
+        t = av + U32(1 << LIMB_BITS) - mv - borrow
+        return U32(1) - (t >> LIMB_BITS), None
+
+    borrow, _ = jax.lax.scan(
+        step, jnp.zeros(a.arr.shape[1:], U32), (a.arr, me)
+    )
     return borrow != 0
 
 

@@ -128,10 +128,28 @@ def fq12_one(batch_shape=()) -> Fq12:
 _RETAG_LMAX = 1 << 16  # carriers may hold one lazy-add level
 
 
+def fq2_squeeze(a: Fq2) -> Fq2:
+    """Conditionally vreduce components whose static bound has inflated
+    (the xi-multiplication chains); no-op otherwise."""
+    return Fq2(L.maybe_vreduce(a.c0), L.maybe_vreduce(a.c1))
+
+
+def fq6_squeeze(a: Fq6) -> Fq6:
+    return Fq6(fq2_squeeze(a.c0), fq2_squeeze(a.c1), fq2_squeeze(a.c2))
+
+
+def fq12_squeeze(a: Fq12) -> Fq12:
+    return Fq12(fq6_squeeze(a.c0), fq6_squeeze(a.c1))
+
+
+def _retag_el(e: L.El, vmax: int) -> L.El:
+    if e.lmax > _RETAG_LMAX:
+        e = L.norm_limbs(e)
+    return L.retag(e, vmax, _RETAG_LMAX)
+
+
 def fq2_retag(a: Fq2, vmax: int = L.STD_BOUND) -> Fq2:
-    return Fq2(
-        L.retag(a.c0, vmax, _RETAG_LMAX), L.retag(a.c1, vmax, _RETAG_LMAX)
-    )
+    return Fq2(_retag_el(a.c0, vmax), _retag_el(a.c1, vmax))
 
 
 def fq6_retag(a: Fq6, vmax: int = L.STD_BOUND) -> Fq6:
@@ -270,7 +288,7 @@ def fq6_mul(a: Fq6, b: Fq6) -> Fq6:
     c0 = fq2_add(t0, fq2_mul_xi(fq2_sub(fq2_sub(u0, t1), t2)))
     c1 = fq2_add(fq2_sub(fq2_sub(u1, t0), t1), fq2_mul_xi(t2))
     c2 = fq2_add(fq2_sub(fq2_sub(u2, t0), t2), t1)
-    return Fq6(c0, c1, c2)
+    return fq6_squeeze(Fq6(c0, c1, c2))
 
 
 def fq6_sq(a: Fq6) -> Fq6:
@@ -333,7 +351,7 @@ def fq12_mul(a: Fq12, b: Fq12) -> Fq12:
     t0, t1, t2 = fq6_unstack(fq6_mul(astack, bstack), 3)
     c0 = fq6_add(t0, fq6_mul_by_v(t1))
     c1 = fq6_sub(fq6_sub(t2, t0), t1)
-    return Fq12(c0, c1)
+    return fq12_squeeze(Fq12(c0, c1))
 
 
 def fq12_sq(a: Fq12) -> Fq12:
@@ -348,7 +366,7 @@ def fq12_sq(a: Fq12) -> Fq12:
     )
     c0 = fq6_sub(fq6_sub(u, t), fq6_mul_by_v(t))
     c1 = fq6_add(t, t)
-    return Fq12(c0, c1)
+    return fq12_squeeze(Fq12(c0, c1))
 
 
 def fq12_conj(a: Fq12) -> Fq12:

@@ -5,6 +5,15 @@ Easy part (p^6-1)(p^2+1) followed by the Devegili-style hard-part chain
 oracle's `structured_final_exp`; the final-exp exponent is canonical so
 all correct algorithms agree).
 
+Two entry points:
+  * `final_exp(f)` — monolithic, for use inside a single traced program
+    (e.g. the shard_map'd multi-chip step).
+  * `final_exp_staged(f)` — the same math as a pipeline of separately
+    jitted stages: easy part, one shared `exp_u` compilation reused for
+    all three u-exponentiations, and the combination chain. XLA compile
+    time for this workload is superlinear in program size, so staging
+    compiles several small programs instead of one huge one.
+
 u-exponentiations run as `lax.scan`s over the fixed 63-bit pattern of
 u = 4965661367192848881 with a masked multiply — constant schedule,
 branch-free, batched.
@@ -37,15 +46,14 @@ def exp_u(f: Fq12) -> Fq12:
     return acc
 
 
-def final_exp(f: Fq12) -> Fq12:
-    # ---- easy part: f^((p^6-1)(p^2+1)) ----
+def easy_part(f: Fq12) -> Fq12:
+    """f^((p^6-1)(p^2+1)) — lands in the cyclotomic subgroup."""
     f = T.fq12_mul(T.fq12_conj(f), T.fq12_inv(f))  # f^(p^6-1)
-    f = T.fq12_mul(T.fq12_frob(f, 2), f)  # ^(p^2+1); now cyclotomic
+    return T.fq12_mul(T.fq12_frob(f, 2), f)  # ^(p^2+1)
 
-    # ---- hard part: f^((p^4-p^2+1)/r) ----
-    ft1 = exp_u(f)
-    ft2 = exp_u(ft1)
-    ft3 = exp_u(ft2)
+
+def hard_combine(f: Fq12, ft1: Fq12, ft2: Fq12, ft3: Fq12) -> Fq12:
+    """Hard part (p^4-p^2+1)/r given f (cyclotomic) and its u-powers."""
     fp1 = T.fq12_frob(f, 1)
     fp2 = T.fq12_frob(f, 2)
     fp3 = T.fq12_frob(f, 3)
@@ -61,3 +69,32 @@ def final_exp(f: Fq12) -> Fq12:
     t0 = T.fq12_mul(t0, y2)
     t1 = T.fq12_sq(T.fq12_mul(T.fq12_sq(t1), t0))
     return T.fq12_mul(T.fq12_mul(t1, y0), T.fq12_sq(T.fq12_mul(t1, y1)))
+
+
+def final_exp(f: Fq12) -> Fq12:
+    """Monolithic final exponentiation (single traced program)."""
+    f = easy_part(f)
+    ft1 = exp_u(f)
+    ft2 = exp_u(ft1)
+    ft3 = exp_u(ft2)
+    return hard_combine(f, ft1, ft2, ft3)
+
+
+# ---------------------------------------------------------------------------
+# staged variant: separate jit units, exp_u compiled once and reused 3x
+# ---------------------------------------------------------------------------
+
+_easy_jit = jax.jit(easy_part)
+_exp_u_jit = jax.jit(exp_u)
+_hard_jit = jax.jit(hard_combine)
+
+
+def final_exp_staged(f: Fq12) -> Fq12:
+    # retag to the standard carrier bound at stage boundaries so every
+    # call presents the same pytree signature (one jit cache entry each)
+    f = _easy_jit(T.fq12_retag(f))
+    f = T.fq12_retag(f)
+    ft1 = _exp_u_jit(f)
+    ft2 = _exp_u_jit(ft1)
+    ft3 = _exp_u_jit(ft2)
+    return _hard_jit(f, ft1, ft2, ft3)

@@ -77,7 +77,7 @@ def _fq6_mul_by_01(g: Fq6, s0: Fq2, s1: Fq2) -> Fq6:
     c0 = T.fq2_add(t00, T.fq2_mul_xi(g2s1))
     c1 = T.fq2_sub(T.fq2_sub(u, t00), t11)
     c2 = T.fq2_add(g2s0, t11)
-    return Fq6(c0, c1, c2)
+    return T.fq6_squeeze(Fq6(c0, c1, c2))
 
 
 def _fq6_mul_by_0(g: Fq6, s0: Fq2) -> Fq6:
@@ -96,7 +96,7 @@ def fq12_mul_line(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
     t2 = _fq6_mul_by_01(s, T.fq2_add(a, b), c)
     r0 = T.fq6_add(t0, T.fq6_mul_by_v(t1))
     r1 = T.fq6_sub(T.fq6_sub(t2, t0), t1)
-    return Fq12(r0, r1)
+    return T.fq12_squeeze(Fq12(r0, r1))
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +110,6 @@ def _dbl_step(t: ProjG2, xp, yp):
     # squares / products (gathered where trivially parallel)
     xx = T.fq2_sq(X)  # X^2
     yy = T.fq2_sq(Y)  # Y^2
-    zz = T.fq2_sq(Z)  # Z^2  (unused but cheap; kept for clarity)
     xy = T.fq2_mul(X, Y)
     yz = T.fq2_mul(Y, Z)
 

@@ -86,3 +86,20 @@ def pairing_check(px, py, qx, qy) -> jnp.ndarray:
     """
     reduced = miller_product(px, py, qx, qy)
     return T.fq12_is_one(FE.final_exp(reduced))
+
+
+# ---------------------------------------------------------------------------
+# staged pipeline (separately jitted stages — see final_exp.py docstring)
+# ---------------------------------------------------------------------------
+
+_miller_jit = jax.jit(M.miller_loop)
+_reduce_jit = jax.jit(lambda f: T.fq12_retag(fq12_reduce_mul(f, axis=0)))
+_is_one_jit = jax.jit(T.fq12_is_one)
+
+
+def pairing_check_staged(px, py, qx, qy) -> jnp.ndarray:
+    """Staged `pairing_check`: same result, compiled as a pipeline of
+    small programs (miller -> pair-product -> staged final exp -> cmp)."""
+    f = _miller_jit(px, py, qx, qy)
+    reduced = _reduce_jit(f)
+    return _is_one_jit(FE.final_exp_staged(reduced))

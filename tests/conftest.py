@@ -8,7 +8,12 @@ vars must be set before JAX is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the environment preselects a TPU platform: the test
+# suite targets the virtual 8-device CPU mesh, never the real chip.
+# NB the env var alone is not enough when a sitecustomize has already
+# imported jax (its config snapshots JAX_PLATFORMS at import); the
+# in-process config update below is authoritative pre-backend-init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,5 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # cold; cached recompiles are near-instant across test sessions.
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,64 @@
+"""Device G1/G2 Jacobian arithmetic vs the EVM fixture and the host oracle."""
+
+import json
+
+import jax
+import pytest
+
+from bn254_tpu.curve import g1 as DG1
+from bn254_tpu.curve import g2 as DG2
+from bn254_tpu.fields import limbs as L
+from bn254_tpu.host import curve as C
+
+with open("/root/reference/src/bn256.json") as f:
+    VECS = json.load(f)
+
+
+def parse_pt(xh, yh):
+    x, y = int(xh, 16), int(yh, 16)
+    return (1, 1, 0) if x == 0 and y == 0 else (x, y, 1)
+
+
+def encode(r):
+    return "0" * 128 if r is None else f"{r[0]:064x}{r[1]:064x}"
+
+
+def test_g1_add_vectors():
+    adds = VECS["add"]
+    d1 = DG1.from_host([parse_pt(v["x1"], v["y1"]) for v in adds])
+    d2 = DG1.from_host([parse_pt(v["x2"], v["y2"]) for v in adds])
+    res = DG1.to_host_affine(jax.jit(DG1.add)(d1, d2))
+    for v, r in zip(adds, res):
+        assert encode(r) == v["result"]
+
+
+def test_g1_scalar_mul_vectors():
+    muls = VECS["mul"]
+    dp = DG1.from_host([parse_pt(v["x"], v["y"]) for v in muls])
+    dk = L.from_ints([int(v["scalar"], 16) for v in muls])
+    res = DG1.to_host_affine(jax.jit(DG1.scalar_mul)(dp, dk))
+    for v, r in zip(muls, res):
+        assert encode(r) == v["result"]
+
+
+def test_g2_scalar_mul_matches_oracle():
+    sks = [
+        0x1AB1126FF2E37C6E6EDDEA943CCB3A48F83B380B856424EE552E113595525565,
+        5,
+    ]
+    g2b = DG2.generator((len(sks),))
+    res = DG2.to_host_affine(jax.jit(DG2.scalar_mul)(g2b, L.from_ints(sks)))
+    for sk, r in zip(sks, res):
+        assert r == C.g2_to_affine(C.g2_mul(C.G2_ONE, sk))
+
+
+def test_g1_edge_cases():
+    # identity + P, P + P (doubling path), P + (-P)
+    g = C.G1_ONE
+    pts1 = [C.G1_IDENTITY, g, g]
+    pts2 = [g, g, C.g1_neg(g)]
+    d1, d2 = DG1.from_host(pts1), DG1.from_host(pts2)
+    res = DG1.to_host_affine(jax.jit(DG1.add)(d1, d2))
+    assert res[0] == C.g1_to_affine(g)
+    assert res[1] == C.g1_to_affine(C.g1_double(g))
+    assert res[2] is None
