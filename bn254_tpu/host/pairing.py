@@ -146,10 +146,20 @@ def structured_final_exp(f):
     return F.fq12_mul(F.fq12_mul(t1, y0), F.fq12_sq(F.fq12_mul(t1, y1)))
 
 
+def _native() -> bool:
+    from . import native as N
+
+    return N.available()
+
+
 def pairing(g1_jac, g2_jac):
     """Full pairing e(P, Q) for Jacobian G1/G2 inputs."""
     p_aff = g1_to_affine(g1_jac)
     q_aff = g2_to_affine(g2_jac)
+    if _native():
+        from . import native as N
+
+        return N.pairing(p_aff, q_aff)
     return final_exponentiation(miller_loop(twist(q_aff), p_aff))
 
 
@@ -158,8 +168,20 @@ def pairing_batch(pairs) -> tuple:
 
     Mirrors the reference's `pairing_batch(&[(G1, G2)]) -> Gt`
     (/root/reference/src/ecdsa.rs:57,86): multiply the per-pair Miller-loop
-    values in Fq12, then run final exponentiation once.
+    values in Fq12, then run final exponentiation once. Dispatches to the
+    native core (csrc/) when built; `pairing_batch_py` is the oracle path.
     """
+    if _native():
+        from . import native as N
+
+        return N.pairing_product(
+            [(g1_to_affine(p), g2_to_affine(q)) for p, q in pairs]
+        )
+    return pairing_batch_py(pairs)
+
+
+def pairing_batch_py(pairs) -> tuple:
+    """Pure-Python pairing product (oracle path, native never consulted)."""
     acc = F.FQ12_ONE
     for g1_jac, g2_jac in pairs:
         p_aff = g1_to_affine(g1_jac)
