@@ -28,12 +28,63 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_fp12_mul(args):
+    """Fp12 muls/sec/chip (BASELINE.md metric 2): time a jitted chain of
+    dependent fq12_muls over a large batch."""
+    import secrets
+    import jax
+    import numpy as np
+
+    from bn254_tpu.constants import MONT_R, P
+    from bn254_tpu.fields import limbs as L
+    from bn254_tpu.fields import tower as T
+
+    B = args.batch or (128 if args.smoke else 8192)
+    CHAIN = 4 if args.smoke else 16
+
+    def rnd_el():
+        return L.from_ints(
+            [secrets.randbelow(P) * MONT_R % P for _ in range(B)], vmax=P
+        )
+
+    def rnd12():
+        return T.Fq12(*[T.Fq6(*[T.Fq2(rnd_el(), rnd_el()) for _ in range(3)])
+                        for _ in range(2)])
+
+    a, b = rnd12(), rnd12()
+
+    @jax.jit
+    def chain(a, b):
+        for _ in range(CHAIN):
+            a = T.fq12_retag(T.fq12_mul(a, b))
+        return a
+
+    t0 = time.time()
+    jax.block_until_ready(chain(a, b))
+    log(f"fp12 chain compile+first: {time.time()-t0:.1f}s")
+    reps = 1 if args.smoke else 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(chain(a, b))
+        times.append(time.time() - t0)
+    dt = min(times)
+    rate = B * CHAIN / dt
+    log(f"fp12_mul: {dt*1e3:.1f} ms for {B}x{CHAIN} muls")
+    print(json.dumps({
+        "metric": "fp12_muls_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "muls/s",
+        "vs_baseline": 1.0,
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mode", default="independent",
-                    choices=["independent", "fused"])
+                    choices=["independent", "fused", "fp12"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -41,6 +92,9 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.mode == "fp12":
+        return bench_fp12_mul(args)
 
     import numpy as np
 

@@ -73,10 +73,13 @@ def _independent_pairs(hx, hy, sx, sy, pqx, pqy):
     return px, py, qx, qy
 
 
+_independent_pairs_jit = jax.jit(_independent_pairs)
+
+
 def verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     """Staged-pipeline variant of `verify_batch_independent` (same result,
     several small jitted programs instead of one huge one)."""
-    px, py, qx, qy = _independent_pairs(hx, hy, sx, sy, pqx, pqy)
+    px, py, qx, qy = _independent_pairs_jit(hx, hy, sx, sy, pqx, pqy)
     return DP.pairing_check_staged(px, py, qx, qy)
 
 

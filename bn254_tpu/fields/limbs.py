@@ -330,7 +330,18 @@ def mont_mul(a: El, b: El) -> El:
     assert a.lmax * b.lmax <= _PROD_LIMIT
     assert a.vmax * b.vmax + MONT_R * P <= _T_LIMIT
 
+    out_v = a.vmax * b.vmax // MONT_R + P + 1
+    assert out_v <= CAPACITY
+
     aa, bb = _bc2(a.arr, b.arr)
+
+    # Pallas fast path: VMEM-resident CIOS kernel (TPU, large batches) —
+    # bit-identical to the scan below (see kernels/montmul.py).
+    from ..kernels import montmul as MK
+
+    if MK.use_pallas(jnp.broadcast_shapes(aa.shape, bb.shape)[1:]):
+        return El(MK.montmul_batched(aa, bb), out_v, 1 << LIMB_BITS)
+
     shape = jnp.broadcast_shapes(aa.shape, bb.shape)
     batch = shape[1:]
     aa = jnp.broadcast_to(aa, shape)
@@ -355,9 +366,6 @@ def mont_mul(a: El, b: El) -> El:
 
     t, _ = jax.lax.scan(step, t0, aa)
     total = _carry_u(t, NLIMBS, _COL_LIMIT)
-
-    out_v = a.vmax * b.vmax // MONT_R + P + 1
-    assert out_v <= CAPACITY
     return El(total, out_v, 1 << LIMB_BITS)
 
 

@@ -8,21 +8,28 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..constants import NLIMBS
+from ..constants import MONT_R, NLIMBS, P
 from ..fields import limbs as L
 from ..fields import tower as T
 from ..host import curve as HC
 
 
+def _host_to_mont(v: int) -> int:
+    """Montgomery conversion on the host (one Python bigint mul) — avoids
+    an eager device mont_mul per tensor, which costs whole round trips on
+    a remote-dispatch TPU backend."""
+    return (v * MONT_R) % P
+
+
 def g1_batch_to_device_affine(points_jac):
     """List of host Jacobian G1 points -> (x, y) Montgomery limb tensors
-    of shape (16, B). Identity points are not supported here (callers
+    of shape (18, B). Identity points are not supported here (callers
     pass hash points / signatures, which are never the identity in valid
     flows); use the inf-mask variants if needed."""
     affs = [HC.g1_to_affine(p) for p in points_jac]
     assert all(a is not None for a in affs), "identity in G1 batch"
-    xs = L.to_mont(L.from_ints([a[0] for a in affs]))
-    ys = L.to_mont(L.from_ints([a[1] for a in affs]))
+    xs = L.from_ints([_host_to_mont(a[0]) for a in affs], vmax=P)
+    ys = L.from_ints([_host_to_mont(a[1]) for a in affs], vmax=P)
     return xs, ys
 
 
@@ -33,15 +40,15 @@ def g2_batch_to_device_affine(points_jac):
 
     def fq2(vals):
         return T.Fq2(
-            L.to_mont(L.from_ints([v[0] for v in vals])),
-            L.to_mont(L.from_ints([v[1] for v in vals])),
+            L.from_ints([_host_to_mont(v[0]) for v in vals], vmax=P),
+            L.from_ints([_host_to_mont(v[1]) for v in vals], vmax=P),
         )
 
     return fq2([a[0] for a in affs]), fq2([a[1] for a in affs])
 
 
 def scalars_to_device(scalars) -> jnp.ndarray:
-    """List of ints < 2^256 -> (16, B) canonical limb tensor (no Montgomery)."""
+    """List of ints < 2^256 -> (18, B) canonical limb tensor (no Montgomery)."""
     return L.from_ints(list(scalars))
 
 
@@ -50,7 +57,7 @@ def g2_const_affine(point_jac, batch_shape=()):
     aff = HC.g2_to_affine(point_jac)
 
     def bc(v):
-        return L.bcast_to(L.to_mont(L.from_ints(v)), batch_shape)
+        return L.bcast_to(L.from_ints(_host_to_mont(v), vmax=P), batch_shape)
 
     return (
         T.Fq2(bc(aff[0][0]), bc(aff[0][1])),
