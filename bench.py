@@ -107,7 +107,7 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    B = args.batch or (8 if args.smoke else 256)
+    B = args.batch or (8 if args.smoke else 4096)
 
     # ---- build a valid batch (host-side fixtures) ----
     t0 = time.time()
@@ -134,7 +134,15 @@ def main():
         bench_args = (hx, hy, sx, sy, pqx, pqy, w)
 
     t0 = time.time()
-    out = jax.block_until_ready(fn(*bench_args))
+    out = None
+    for attempt in range(3):
+        try:
+            out = jax.block_until_ready(fn(*bench_args))
+            break
+        except Exception as e:  # transient remote-compile flakes
+            if attempt == 2 or "INTERNAL" not in str(e):
+                raise
+            log(f"compile attempt {attempt + 1} failed ({e}); retrying")
     compile_and_first = time.time() - t0
     log(f"compile+first run: {compile_and_first:.1f}s")
     ok = np.asarray(out)

@@ -369,6 +369,61 @@ def fq12_sq(a: Fq12) -> Fq12:
     return fq12_squeeze(Fq12(c0, c1))
 
 
+def fq12_cyc_sq(a: Fq12) -> Fq12:
+    """Granger-Scott cyclotomic squaring: 18 leaf muls vs fq12_sq's 36.
+
+    Valid ONLY for elements of the cyclotomic subgroup (e.g. any easy-part
+    output of the final exponentiation). Decomposes Fq12 = Fq4[v] with
+    Fq4 = Fq2[W], W = v*w, W^2 = xi, and squares the three Fq4 pairs
+    (c0.c0, c1.c1), (c1.c0, c0.c2), (c0.c1, c1.c2); the cyclotomic norm
+    condition collapses the full square to 3 Fq4 squarings plus the
+    3t +/- 2r recombination (Granger-Scott 2010, §3.1). Formula-set and
+    index pairing verified against the generic fq12_sq on easy-part
+    outputs (host oracle + device test).
+    """
+    r0, r4, r3 = a.c0
+    r2, r1, r5 = a.c1
+    # Each Fq4 square (x + y W)^2 = (x^2 + xi y^2) + (2xy) W needs two
+    # Fq2 products: tmp = x*y and s = (x+y)(x + xi y); all six products
+    # across the three pairs gather into ONE batched fq2_mul (18 leaves).
+    pairs = [(r0, r1), (r2, r3), (r4, r5)]
+    lhs = fq2_stack([x for x, _ in pairs] + [fq2_add(x, y) for x, y in pairs])
+    rhs = fq2_stack([y for _, y in pairs]
+                    + [fq2_add(x, fq2_mul_xi(y)) for x, y in pairs])
+    pa, pb, pc, sa, sb, sc = fq2_unstack(fq2_mul(lhs, rhs), 6)
+
+    def fq4_out(tmp, s):
+        even = fq2_sub(fq2_sub(s, tmp), fq2_mul_xi(tmp))  # x^2 + xi y^2
+        odd = fq2_double(tmp)  # 2xy
+        return even, odd
+
+    t0, t1 = fq4_out(pa, sa)
+    t2, t3 = fq4_out(pb, sb)
+    t4, t5 = fq4_out(pc, sc)
+
+    def three_plus_two(t, r):  # 3t + 2r
+        x = fq2_add(t, r)
+        return fq2_add(fq2_double(x), t)
+
+    def three_minus_two(t, r):  # 3t - 2r
+        x = fq2_sub(t, r)
+        return fq2_add(fq2_double(x), t)
+
+    out = Fq12(
+        Fq6(
+            three_minus_two(t0, r0),
+            three_minus_two(t2, r4),
+            three_minus_two(t4, r3),
+        ),
+        Fq6(
+            three_plus_two(fq2_mul_xi(t5), r2),
+            three_plus_two(t1, r1),
+            three_plus_two(t3, r5),
+        ),
+    )
+    return fq12_squeeze(out)
+
+
 def fq12_conj(a: Fq12) -> Fq12:
     """w -> -w: the p^6 Frobenius (inverse in the cyclotomic subgroup)."""
     return Fq12(a.c0, fq6_neg(a.c1))

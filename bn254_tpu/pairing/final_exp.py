@@ -30,19 +30,37 @@ from ..fields import tower as T
 Fq12 = T.Fq12
 
 _U_BITS = [int(b) for b in bin(U)[2:]][1:]  # MSB consumed by init
+assert len(_U_BITS) % 2 == 0  # 62 bits -> 31 two-bit windows
+_U_WINDOWS = [
+    2 * _U_BITS[i] + _U_BITS[i + 1] for i in range(0, len(_U_BITS), 2)
+]
 
 
 def exp_u(f: Fq12) -> Fq12:
-    """f^u by square-and-multiply over the fixed bits of u."""
-    bits = jnp.array(_U_BITS, dtype=jnp.uint32)
-    f = T.fq12_retag(f)
+    """f^u for a CYCLOTOMIC f (all final-exp call sites qualify).
 
-    def body(acc, bit):
-        acc = T.fq12_sq(acc)
-        acc = T.fq12_select(bit != 0, T.fq12_mul(acc, f), acc)
+    2-bit windowed square-and-multiply over the fixed bits of u:
+    31 scan steps of (2 Granger-Scott cyclotomic squarings + one
+    table multiply), with the {1, f, f^2, f^3} table selected by the
+    static window digits — half the leaf multiplications of the
+    bit-serial masked form.
+    """
+    f = T.fq12_retag(f)
+    f2 = T.fq12_retag(T.fq12_cyc_sq(f))
+    f3 = T.fq12_retag(T.fq12_mul(f2, f))
+    one = T.fq12_retag(T.fq12_one(f.c0.c0.c0.batch_shape))
+    windows = jnp.array(_U_WINDOWS, dtype=jnp.uint32)
+
+    def body(acc, w):
+        acc = T.fq12_cyc_sq(acc)
+        acc = T.fq12_cyc_sq(T.fq12_retag(acc))
+        lo = T.fq12_select(w & 1 != 0, f, one)
+        hi = T.fq12_select(w & 1 != 0, f3, f2)
+        m = T.fq12_select(w >> 1 != 0, hi, lo)
+        acc = T.fq12_mul(T.fq12_retag(acc), m)
         return T.fq12_retag(acc), None
 
-    acc, _ = jax.lax.scan(body, f, bits)
+    acc, _ = jax.lax.scan(body, f, windows)
     return acc
 
 
@@ -64,11 +82,15 @@ def hard_combine(f: Fq12, ft1: Fq12, ft2: Fq12, ft3: Fq12) -> Fq12:
     y4 = T.fq12_conj(T.fq12_mul(ft1, T.fq12_frob(ft2, 1)))
     y5 = T.fq12_conj(ft2)
     y6 = T.fq12_conj(T.fq12_mul(ft3, T.fq12_frob(ft3, 1)))
-    t0 = T.fq12_mul(T.fq12_mul(T.fq12_sq(y6), y4), y5)
+    # every operand here is cyclotomic (f is an easy-part output and the
+    # subgroup is closed under mul/conj/Frobenius) -> cyclotomic squares
+    t0 = T.fq12_mul(T.fq12_mul(T.fq12_cyc_sq(y6), y4), y5)
     t1 = T.fq12_mul(T.fq12_mul(y3, y5), t0)
     t0 = T.fq12_mul(t0, y2)
-    t1 = T.fq12_sq(T.fq12_mul(T.fq12_sq(t1), t0))
-    return T.fq12_mul(T.fq12_mul(t1, y0), T.fq12_sq(T.fq12_mul(t1, y1)))
+    t1 = T.fq12_cyc_sq(T.fq12_mul(T.fq12_cyc_sq(T.fq12_retag(t1)), t0))
+    return T.fq12_mul(
+        T.fq12_mul(t1, y0), T.fq12_cyc_sq(T.fq12_mul(T.fq12_retag(t1), y1))
+    )
 
 
 def final_exp(f: Fq12) -> Fq12:

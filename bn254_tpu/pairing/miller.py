@@ -161,6 +161,33 @@ def _add_step(t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
     return ProjG2(x_out, y_out, z_out), (a, b, c)
 
 
+def _pin_el(e):
+    """Force El static metadata to the (STD_BOUND, 2^16) fixed point so
+    `lax.cond` branch outputs and `lax.scan` carriers share one pytree
+    aux signature regardless of which op chain produced them."""
+    from ..fields.limbs import STD_BOUND
+
+    if e.lmax > (1 << 16):
+        e = L.norm_limbs(e)
+    return L.retag(e, STD_BOUND, 1 << 16)
+
+
+def _pin_fq2(a: Fq2) -> Fq2:
+    return Fq2(_pin_el(a.c0), _pin_el(a.c1))
+
+
+def _pin_fq6(a: Fq6) -> Fq6:
+    return Fq6(_pin_fq2(a.c0), _pin_fq2(a.c1), _pin_fq2(a.c2))
+
+
+def _pin_fq12(a: Fq12) -> Fq12:
+    return Fq12(_pin_fq6(a.c0), _pin_fq6(a.c1))
+
+
+def _pin_proj(p: ProjG2) -> ProjG2:
+    return ProjG2(_pin_fq2(p.x), _pin_fq2(p.y), _pin_fq2(p.z))
+
+
 def _retag_proj(p: ProjG2, vmax=None) -> ProjG2:
     from ..fields.limbs import STD_BOUND
 
@@ -187,7 +214,24 @@ def _twist_frob(qx: Fq2, qy: Fq2, power: int):
     return T.fq2_mul(qx, cx), T.fq2_mul(qy, cy)
 
 
-_ATE_BITS = [int(b) for b in bin(ATE_LOOP_COUNT)[2:]][1:]  # MSB consumed
+def _naf(m: int):
+    """Non-adjacent form, LSB first, digits in {-1, 0, 1}."""
+    out = []
+    while m:
+        if m & 1:
+            d = 2 - (m & 3)
+            out.append(d)
+            m -= d
+        else:
+            out.append(0)
+        m >>= 1
+    return out
+
+
+# NAF of 6u+2, MSB-first with the leading digit consumed by T=Q, f=1.
+_ATE_NAF = _naf(ATE_LOOP_COUNT)[::-1]
+assert _ATE_NAF[0] == 1
+_ATE_NAF = _ATE_NAF[1:]
 
 
 def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
@@ -198,27 +242,45 @@ def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     inf_mask: optional batch bool — where True the output is forced to 1
     (matching `pairing(identity, ·) == 1`).
     Returns the pre-final-exponentiation Fq12 Miller value (line-scaled;
-    subfield factors differ from the oracle until final exp).
+    subfield and vertical-line factors differ from the oracle until the
+    final exponentiation kills them).
+
+    Loop schedule: the signed NAF of 6u+2 (weight 22 of 65 digits vs 37
+    of 64 binary bits). The scan body always doubles; the chord addition
+    runs under a `lax.cond` on the static-in-value, traced-in-position
+    digit, so zero digits skip the addition work at runtime instead of
+    computing a masked add every step. Digit -1 adds -Q (y negated) —
+    the dropped vertical-line factors are subfield elements.
     """
     batch = xp.batch_shape
-    f0 = T.fq12_retag(T.fq12_one(batch))
-    t0 = _retag_proj(ProjG2(qx, qy, T.fq2_one(batch)))
+    f0 = _pin_fq12(T.fq12_one(batch))
+    t0 = _pin_proj(ProjG2(qx, qy, T.fq2_one(batch)))
+    nqy = T.fq2_retag(T.fq2_neg(qy), L.STD_BOUND)
 
-    bits = jnp.array(_ATE_BITS, dtype=jnp.uint32)
+    digits = jnp.array(_ATE_NAF, dtype=jnp.int32)
 
-    def body(carry, bit):
+    def add_branch(f, t, d):
+        qy_eff = T.fq2_select(d > 0, qy, nqy)
+        t2, (aa, ab, ac) = _add_step(t, qx, qy_eff, xp, yp)
+        f2 = fq12_mul_line(f, aa, ab, ac)
+        return _pin_fq12(f2), _pin_proj(t2)
+
+    def body(carry, d):
         f, t = carry
         f = T.fq12_sq(f)
         t, (la, lb, lc) = _dbl_step(t, xp, yp)
         f = fq12_mul_line(f, la, lb, lc)
-        t_added, (aa, ab, ac) = _add_step(t, qx, qy, xp, yp)
-        f_added = fq12_mul_line(f, aa, ab, ac)
-        take = bit != 0
-        f = T.fq12_select(take, f_added, f)
-        t = _select_proj(take, t_added, t)
-        return (T.fq12_retag(f), _retag_proj(t)), None
+        f, t = jax.lax.cond(
+            d != 0,
+            add_branch,
+            lambda f, t, d: (_pin_fq12(f), _pin_proj(t)),
+            f,
+            t,
+            d,
+        )
+        return (f, t), None
 
-    (f, t), _ = jax.lax.scan(body, (f0, t0), bits)
+    (f, t), _ = jax.lax.scan(body, (f0, t0), digits)
 
     # Frobenius addition steps: +Q1, then +(-Q2)
     q1x, q1y = _twist_frob(qx, qy, 1)
