@@ -172,30 +172,46 @@ def _pad_cols(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
     return cols[:out_len]
 
 
+def _carry_u_step(c, col):
+    t = col + c
+    return t >> LIMB_BITS, t & MASK
+
+
+def _carry_s_step(c, col):
+    t = col + c
+    return t >> LIMB_BITS, (t & I32(LIMB_MASK)).astype(U32)
+
+
+# Module-level jits so EAGER calls (stage boundaries, codecs) hit one
+# cached executable per shape instead of re-tracing + re-XLA-compiling a
+# fresh scan closure on every call (~0.4s/call through the remote
+# compiler — this was the dominant cost of the staged pipeline).
+@jax.jit
+def _carry_u_scan(cols: jnp.ndarray) -> jnp.ndarray:
+    _, limbs = jax.lax.scan(
+        _carry_u_step, jnp.zeros(cols.shape[1:], U32), cols
+    )
+    return limbs
+
+
+@jax.jit
+def _carry_s_scan(cols: jnp.ndarray) -> jnp.ndarray:
+    _, limbs = jax.lax.scan(
+        _carry_s_step, jnp.zeros(cols.shape[1:], I32), cols
+    )
+    return limbs
+
+
 def _carry_u(cols: jnp.ndarray, out_len: int, col_max: int) -> jnp.ndarray:
     """Unsigned carry propagation: (K, *b) columns -> (out_len, *b) limbs."""
     assert col_max < 1 << 31
-    cols = _pad_cols(cols, out_len)
-
-    def step(c, col):
-        t = col + c
-        return t >> LIMB_BITS, t & MASK
-
-    _, limbs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], U32), cols)
-    return limbs
+    return _carry_u_scan(_pad_cols(cols, out_len))
 
 
 def _carry_s(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Signed carry propagation for int32 columns (arithmetic shifts
     propagate negative carries); total value must be non-negative."""
-    cols = _pad_cols(cols.astype(I32), out_len)
-
-    def step(c, col):
-        t = col + c
-        return t >> LIMB_BITS, (t & I32(LIMB_MASK)).astype(U32)
-
-    _, limbs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], I32), cols)
-    return limbs
+    return _carry_s_scan(_pad_cols(cols.astype(I32), out_len))
 
 
 def norm_limbs(a: El) -> El:

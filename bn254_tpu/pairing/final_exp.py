@@ -106,16 +106,19 @@ def final_exp(f: Fq12) -> Fq12:
 # staged variant: separate jit units, exp_u compiled once and reused 3x
 # ---------------------------------------------------------------------------
 
-_easy_jit = jax.jit(easy_part)
-_exp_u_jit = jax.jit(exp_u)
-_hard_jit = jax.jit(hard_combine)
+# Each stage retags ITS OWN output inside the jit: stage boundaries are
+# then metadata-only on the host (no eager norm_limbs — an eager carry
+# chain used to re-trace + re-compile on every call, dominating runtime)
+# and every call presents the same pytree signature (one cache entry).
+_easy_jit = jax.jit(lambda f: T.fq12_retag(easy_part(f)))
+_exp_u_jit = jax.jit(lambda f: T.fq12_retag(exp_u(f)))
+_hard_jit = jax.jit(
+    lambda f, t1, t2, t3: T.fq12_retag(hard_combine(f, t1, t2, t3))
+)
 
 
 def final_exp_staged(f: Fq12) -> Fq12:
-    # retag to the standard carrier bound at stage boundaries so every
-    # call presents the same pytree signature (one jit cache entry each)
     f = _easy_jit(T.fq12_retag(f))
-    f = T.fq12_retag(f)
     ft1 = _exp_u_jit(f)
     ft2 = _exp_u_jit(ft1)
     ft3 = _exp_u_jit(ft2)
