@@ -34,10 +34,12 @@ from .protocol.format import (
     format_pairing_check_values,
 )
 from .protocol.types import PrivateKey, PublicKey, PublicKeyG1, Signature
+from .config import Config
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
+    "Config",
     "ECDSA",
     "check_public_keys",
     "PrivateKey",

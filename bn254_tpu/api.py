@@ -65,6 +65,7 @@ def batch_verify(
     signatures: list[Signature],
     public_keys: list[PublicKey],
     mode: str = "independent",
+    config=None,
 ):
     """Verify a batch of (message, signature, public key) tuples on device.
 
@@ -73,18 +74,25 @@ def batch_verify(
     mode="fused": ONE combined check with random linear-combination
     weights and a single shared final exponentiation (returns scalar
     bool: all-valid). Sound: a forged tuple passes only with probability
-    ~2^-128 over the weight draw.
+    ~2^-rlc_bits over the weight draw.
+    config: a config.Config (hash-search width, RLC bits, staging);
+    defaults to config.DEFAULT.
     """
+    from . import config as CFG
+
+    cfg = config or CFG.DEFAULT
     n = len(messages)
     assert len(signatures) == n and len(public_keys) == n
-    hx, hy = hash_to_g1_device(messages)
+    hx, hy = hash_to_g1_device(messages, cfg.k_candidates)
     sx, sy = CV.g1_batch_to_device_affine([s.point for s in signatures])
     pqx, pqy = CV.g2_batch_to_device_affine([k.point for k in public_keys])
     if mode == "independent":
-        return np.asarray(_verify_indep_jit(hx, hy, sx, sy, pqx, pqy))
+        fn = _verify_indep_jit if cfg.staged else BV.verify_batch_independent
+        return np.asarray(fn(hx, hy, sx, sy, pqx, pqy))
     elif mode == "fused":
-        w = CV.scalars_to_device(BV.random_weights(n))
-        return bool(_verify_fused_jit(hx, hy, sx, sy, pqx, pqy, w))
+        w = CV.scalars_to_device(BV.random_weights(n, cfg.rlc_bits))
+        fn = _verify_fused_jit if cfg.staged else BV.verify_batch_fused
+        return bool(fn(hx, hy, sx, sy, pqx, pqy, w))
     raise ValueError(f"unknown mode {mode!r}")
 
 

@@ -1,0 +1,71 @@
+"""Framework configuration (SURVEY.md §5.6).
+
+One frozen dataclass for every tunable the framework exposes — mesh
+shape, batch size, hash-search width, Pallas kernel toggle, RLC weight
+width, staging — replacing scattered env vars and kwargs. Env vars are
+still honoured as *defaults* (`Config.from_env`) so ops overrides work
+without code changes, but all call sites consume a Config.
+
+The reference's only config surface is a cargo feature flag
+(reference Cargo.toml:15-17); everything here is new-build territory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Knobs for the batched/sharded verification pipeline."""
+
+    # hash-to-G1: device candidate-counters per message (SURVEY §3.5);
+    # miss probability ~2^-K with host fallback for the remainder.
+    k_candidates: int = 8
+
+    # random-linear-combination weight width (bits) for fused batch
+    # verification; forgery slips through with probability ~2^-bits.
+    rlc_bits: int = 128
+
+    # Pallas CIOS kernel: None = auto (TPU backend + enough lanes),
+    # True/False = force. Mirrors the BN254_DISABLE_PALLAS env var.
+    use_pallas: bool | None = None
+
+    # minimum flat batch for the Pallas kernel to beat the scan path.
+    pallas_min_lanes: int = 256
+
+    # staged pipelines (several small jitted programs) vs one monolithic
+    # program; staging compiles ~10x faster on this toolchain.
+    staged: bool = True
+
+    # mesh axis name used by the sharded verifier and collectives.
+    axis_name: str = "batch"
+
+    # multi-host (jax.distributed) settings; None = single-process.
+    coordinator_address: str | None = None
+    num_processes: int = 1
+    process_id: int = 0
+
+    @classmethod
+    def from_env(cls, **overrides) -> "Config":
+        """Defaults from the environment, then explicit overrides."""
+        env = {}
+        if os.environ.get("BN254_DISABLE_PALLAS"):
+            env["use_pallas"] = False
+        if os.environ.get("BN254_K_CANDIDATES"):
+            env["k_candidates"] = int(os.environ["BN254_K_CANDIDATES"])
+        if os.environ.get("BN254_RLC_BITS"):
+            env["rlc_bits"] = int(os.environ["BN254_RLC_BITS"])
+        if os.environ.get("BN254_COORDINATOR"):
+            env["coordinator_address"] = os.environ["BN254_COORDINATOR"]
+            env["num_processes"] = int(os.environ.get("BN254_NUM_PROCESSES", "1"))
+            env["process_id"] = int(os.environ.get("BN254_PROCESS_ID", "0"))
+        env.update(overrides)
+        return cls(**env)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config.from_env()

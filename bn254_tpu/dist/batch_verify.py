@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from ..constants import NLIMBS
 from ..curve import g1 as DG1
+from ..errors import InvalidLengthError
 from ..curve import jacobian as J
 from ..fields import limbs as L
 from ..fields import tower as T
@@ -38,6 +39,7 @@ from ..pairing import miller as M
 from ..pairing import pairing as DP
 from ..utils import convert as CV
 from . import collectives as COLL
+from . import mesh as MESH
 
 
 def _neg_g2_one(batch_shape):
@@ -88,8 +90,15 @@ def verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def random_weights(n: int, bits: int = 128):
-    """Host-side random combination weights (first fixed to 1)."""
+def random_weights(n: int, bits: int | None = None):
+    """Host-side random combination weights (first fixed to 1).
+
+    Width defaults to config.DEFAULT.rlc_bits (forgery passes the fused
+    check with probability ~2^-bits over the weight draw)."""
+    if bits is None:
+        from .. import config as C
+
+        bits = C.DEFAULT.rlc_bits
     return [1] + [secrets.randbits(bits) | 1 for _ in range(n - 1)]
 
 
@@ -247,7 +256,14 @@ def make_sharded_verifier(
                 if isinstance(weights, L.El)
                 else CV.scalars_to_device(weights)
             )
-            assert hx.batch_shape[-1] % n_dev == 0
+            if hx.batch_shape[-1] % n_dev != 0:
+                raise InvalidLengthError(
+                    f"batch {hx.batch_shape[-1]} must divide the mesh "
+                    f"axis size {n_dev}"
+                )
+            hx, hy, sx, sy, pqx, pqy, w = MESH.shard_tree(
+                (hx, hy, sx, sy, pqx, pqy, w), mesh, axis_name
+            )
             return sharded(hx, hy, sx, sy, pqx, pqy, w)
 
         return run_mono
@@ -300,11 +316,20 @@ def make_sharded_verifier(
         from ..pairing.pairing import _is_one_jit, _miller_jit
 
         B = hx.batch_shape[-1]
-        assert B % n_dev == 0, "batch must divide the mesh axis size"
+        if B % n_dev != 0:
+            raise InvalidLengthError(
+                f"batch {B} must divide the mesh axis size {n_dev}"
+            )
         w = (
             weights
             if isinstance(weights, L.El)
             else CV.scalars_to_device(weights)
+        )
+        # place inputs as GLOBAL batch-sharded arrays: required for
+        # multi-process (every process passes the same full-batch host
+        # values), a cheap no-op resharding hint in single-process runs
+        hx, hy, sx, sy, pqx, pqy, w = MESH.shard_tree(
+            (hx, hy, sx, sy, pqx, pqy, w), mesh, axis_name
         )
         f_local, s_local = local_jit(hx, hy, sx, sy, pqx, pqy, w)
         f_all, ssx, ssy = reduce_jit(f_local, s_local)

@@ -101,14 +101,18 @@ def hash_to_g1_batch(blocks: jnp.ndarray, ctr_word: int, ctr_shift: int,
     return x_sel, y_sel, found, first
 
 
-def hash_to_g1_device(messages: list[bytes], k_candidates: int = 8):
+def hash_to_g1_device(messages: list[bytes], k_candidates: int | None = None):
     """End-to-end batched hash-to-G1 with host fallback for rare misses.
 
     Returns (x_mont, y_mont) limbs.El of shape (18, B), bit-exact with the
-    host `hash_to_g1_affine` for every message.
+    host `hash_to_g1_affine` for every message. k_candidates defaults to
+    config.DEFAULT.k_candidates.
     """
+    from .. import config as C
     from .tai import hash_to_g1_affine
 
+    if k_candidates is None:
+        k_candidates = C.DEFAULT.k_candidates
     blocks, w, s = prepare_blocks_host(messages)
     x, y, found, _ = hash_to_g1_batch(
         jnp.asarray(blocks), w, s, k_candidates

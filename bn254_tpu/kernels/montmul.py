@@ -77,8 +77,8 @@ def _montmul_kernel(a_ref, b_ref, p_ref, o_ref):
     o_ref[:] = jnp.concatenate(limbs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_padded",))
-def _montmul_flat(a2, b2, n_padded):
+@functools.partial(jax.jit, static_argnames=("n_padded", "interpret"))
+def _montmul_flat(a2, b2, n_padded, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,14 +104,19 @@ def _montmul_flat(a2, b2, n_padded):
         out_specs=pl.BlockSpec(
             (NLIMBS, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(a2, b2, p_in)
 
 
-def montmul_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def montmul_batched(
+    a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     """REDC(a*b) for (18, *batch) uint32 limb tensors, limbs < 2^16.
 
     Broadcasts operands to a common batch shape, flattens, pads the lane
     count to a BLOCK multiple, and runs the VMEM-resident kernel.
+    `interpret=True` runs the Pallas interpreter (CPU test coverage of
+    the exact kernel body).
     """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
@@ -125,20 +130,25 @@ def montmul_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         pad = [(0, 0), (0, n_padded - n)]
         a2 = jnp.pad(a2, pad)
         b2 = jnp.pad(b2, pad)
-    out = _montmul_flat(a2, b2, n_padded)
+    out = _montmul_flat(a2, b2, n_padded, interpret=interpret)
     return out[:, :n].reshape(shape)
 
 
-def use_pallas(batch_shape) -> bool:
-    """Kernel eligibility: TPU backend and enough lanes to amortise."""
-    import os
+def use_pallas(batch_shape, cfg=None) -> bool:
+    """Kernel eligibility: TPU backend and enough lanes to amortise.
 
-    if os.environ.get("BN254_DISABLE_PALLAS"):
-        return False
+    Driven by config.Config (use_pallas force-on/off, min-lanes); the
+    BN254_DISABLE_PALLAS env var is honoured via Config.from_env.
+    """
+    from .. import config as C
+
+    cfg = cfg or C.DEFAULT
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
     n = 1
     for d in batch_shape:
         n *= int(d)
-    if n < _MIN_LANES:
+    if n < cfg.pallas_min_lanes:
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import U
+from ..fields import limbs as L
 from ..fields import tower as T
 
 Fq12 = T.Fq12
@@ -110,10 +111,28 @@ def final_exp(f: Fq12) -> Fq12:
 # then metadata-only on the host (no eager norm_limbs — an eager carry
 # chain used to re-trace + re-compile on every call, dominating runtime)
 # and every call presents the same pytree signature (one cache entry).
+def _max_vmax(a) -> int:
+    """Largest El.vmax in a tower element (exact static bound)."""
+    if isinstance(a, L.El):
+        return a.vmax
+    return max(_max_vmax(c) for c in a)
+
+
+def _retag_tight(a: T.Fq12) -> T.Fq12:
+    """Retag with the element's own exact bound instead of STD_BOUND.
+
+    hard_combine's natural output bound (~2^258) is tighter than
+    STD_BOUND (2^262); keeping it exact saves ~4 cond_sub rounds in every
+    downstream canon/is_one. Deterministic given the (stable) input tags,
+    so the jit cache signature is unaffected.
+    """
+    return T.fq12_retag(a, _max_vmax(a))
+
+
 _easy_jit = jax.jit(lambda f: T.fq12_retag(easy_part(f)))
 _exp_u_jit = jax.jit(lambda f: T.fq12_retag(exp_u(f)))
 _hard_jit = jax.jit(
-    lambda f, t1, t2, t3: T.fq12_retag(hard_combine(f, t1, t2, t3))
+    lambda f, t1, t2, t3: _retag_tight(hard_combine(f, t1, t2, t3))
 )
 
 

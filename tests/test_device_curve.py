@@ -1,6 +1,7 @@
 """Device G1/G2 Jacobian arithmetic vs the EVM fixture and the host oracle."""
 
 import json
+import os
 
 import jax
 import pytest
@@ -10,7 +11,8 @@ from bn254_tpu.curve import g2 as DG2
 from bn254_tpu.fields import limbs as L
 from bn254_tpu.host import curve as C
 
-with open("/root/reference/src/bn256.json") as f:
+_FIXTURE = os.path.join(os.path.dirname(__file__), "data", "bn256.json")
+with open(_FIXTURE) as f:
     VECS = json.load(f)
 
 

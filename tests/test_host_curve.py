@@ -1,11 +1,13 @@
 """G1/G2 host (oracle) group-arithmetic tests.
 
-Wires up the go-ethereum precompile fixture /root/reference/src/bn256.json
-(dead data in the reference — never loaded by its code, SURVEY.md §2.1) as
-golden vectors for curve add and scalar mul, plus structural group laws.
+Wires up the go-ethereum precompile fixture (vendored at tests/data/bn256.json
+from reference src/bn256.json — dead data in the reference, never loaded by
+its code, SURVEY.md §2.1) as golden vectors for curve add and scalar mul,
+plus structural group laws.
 """
 
 import json
+import os
 
 import pytest
 
@@ -13,7 +15,8 @@ from bn254_tpu.constants import P, R
 from bn254_tpu.host import curve as C
 from bn254_tpu.host import field as F
 
-with open("/root/reference/src/bn256.json") as f:
+_FIXTURE = os.path.join(os.path.dirname(__file__), "data", "bn256.json")
+with open(_FIXTURE) as f:
     BN256_VECTORS = json.load(f)
 
 
