@@ -5,8 +5,15 @@ carry accumulator and the (18, N) operands from HBM on every one of the
 18 CIOS steps — at large batch that is ~50x the algorithmically-required
 traffic and the multiply becomes HBM-bound. This kernel runs the whole
 interleaved CIOS recurrence on VMEM-resident blocks: one HBM read per
-operand, one write of the product, all 18 steps unrolled straight-line
-on (18, BLK) tiles (Mosaic handles ~250-op bodies comfortably).
+operand, one write of the product, all 18 steps unrolled straight-line.
+
+Layout (decided by measurement — tools/bench_micro.py, PERF.md): limbs
+live on the UNTILED leading axis of (NLIMBS, 8, 128) blocks, one (8, 128)
+vreg-shaped tile per limb. The per-step "shift T down one limb" is then
+pure register renaming (a Python-list rotation at trace time), there are
+zero sublane shuffles, and no 18->24 sublane padding waste. On a v5e this
+measures 2.44x the throughput of the same recurrence on (18, BLK) blocks
+with limbs on sublanes (462 vs 189 M Fq-muls/s, both ~VPU-bound).
 
 Numerics are IDENTICAL to limbs.mont_mul's scan: 15-bit limbs in uint32
 lanes, per-step lazy lo/hi column accumulation (columns < 2^22), one
@@ -34,47 +41,44 @@ MASK = np.uint32(LIMB_MASK)
 PINV0 = np.uint32((-pow(P, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
 _P_LIMBS = np.array(to_limbs(P, NLIMBS), dtype=np.uint32)
 
-# lane block per grid step; 512 lanes x (18 sublane-padded rows) x 4 B
-# keeps the working set (a, b, t, out + temporaries) well under VMEM.
-BLOCK = 512
+# batch elements per grid step: one (8, 128) tile per limb
+BLOCK = 1024
+_TILE = (8, 128)
 _MIN_LANES = 256  # below this the scan path wins (kernel launch overhead)
 
 
-def _montmul_kernel(a_ref, b_ref, p_ref, o_ref):
-    """Mosaic-friendly CIOS: no scatter ops — row shifts are concatenations,
-    the accumulator is a (19, BLK) value rebuilt functionally each step."""
-    a = a_ref[:]  # (18, BLK) uint32
-    b = b_ref[:]
-    p_col = p_ref[:, 0:1]  # (18, 1) modulus limbs (pallas forbids captures)
+def _montmul_kernel(a_ref, b_ref, o_ref):
+    """CIOS with limbs as separate (8, 128) tiles (leading dim untiled).
 
-    blk = a.shape[1]
-    t = jnp.zeros((NLIMBS + 1, blk), U32)
-    zrow = jnp.zeros((1, blk), U32)
+    The accumulator is a Python list of 19 tiles; the per-step one-limb
+    shift is a list rotation (register renaming, no data movement). The
+    modulus limbs are baked in as scalar immediates.
+    """
+    a = [a_ref[i] for i in range(NLIMBS)]
+    b = [b_ref[i] for i in range(NLIMBS)]
+    zero = jnp.zeros(_TILE, U32)
+    t = [zero] * (NLIMBS + 1)
     for i in range(NLIMBS):
-        prod = a[i : i + 1] * b  # exact in uint32 (limbs < 2^16)
-        t = (
-            t
-            + jnp.concatenate([prod & MASK, zrow], axis=0)
-            + jnp.concatenate([zrow, prod >> LIMB_BITS], axis=0)
-        )
-        m_i = (t[0:1] * PINV0) & MASK  # (1, BLK)
-        prod2 = m_i * p_col  # (18, BLK)
-        t = (
-            t
-            + jnp.concatenate([prod2 & MASK, zrow], axis=0)
-            + jnp.concatenate([zrow, prod2 >> LIMB_BITS], axis=0)
-        )
-        carry0 = t[0:1] >> LIMB_BITS  # t[0] & MASK == 0 by construction
-        t = jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
+        ai = a[i]
+        for j in range(NLIMBS):
+            prod = ai * b[j]  # exact in uint32 (limbs < 2^16)
+            t[j] = t[j] + (prod & MASK)
+            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+        m_i = (t[0] * PINV0) & MASK
+        for j in range(NLIMBS):
+            prod2 = m_i * np.uint32(_P_LIMBS[j])
+            t[j] = t[j] + (prod2 & MASK)
+            t[j + 1] = t[j + 1] + (prod2 >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS  # t[0] & MASK == 0 by construction
+        t = t[1:] + [zero]  # shift down one limb: register renaming
+        t[0] = t[0] + carry0
 
     # final carry normalisation (unrolled; columns < 2^26)
-    limbs = []
-    c = zrow
+    c = zero
     for i in range(NLIMBS):
-        v = t[i : i + 1] + c
-        limbs.append(v & MASK)
+        v = t[i] + c
+        o_ref[i] = v & MASK
         c = v >> LIMB_BITS
-    o_ref[:] = jnp.concatenate(limbs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_padded", "interpret"))
@@ -83,29 +87,21 @@ def _montmul_flat(a2, b2, n_padded, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     grid = n_padded // BLOCK
-    p_in = jnp.broadcast_to(
-        jnp.asarray(_P_LIMBS).reshape(NLIMBS, 1), (NLIMBS, 128)
+    nrows = n_padded // 128
+    a3 = a2.reshape(NLIMBS, nrows, 128)
+    b3 = b2.reshape(NLIMBS, nrows, 128)
+    spec = pl.BlockSpec(
+        (NLIMBS,) + _TILE, lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _montmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((NLIMBS, n_padded), U32),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, nrows, 128), U32),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(
-                (NLIMBS, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (NLIMBS, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (NLIMBS, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (NLIMBS, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
+        in_specs=[spec, spec],
+        out_specs=spec,
         interpret=interpret,
-    )(a2, b2, p_in)
+    )(a3, b3)
+    return out.reshape(NLIMBS, n_padded)
 
 
 def montmul_batched(

@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Stage-level timing: miller vs final-exp vs fq12-mul rate at a given batch."""
+"""Stage-level timing: hash vs miller vs final-exp vs fq12-mul at a batch.
+
+Uses tools/timing.measure (readback-synchronised) — block_until_ready does
+not block on this environment's TPU tunnel. Prints a percentage breakdown
+of the independent-verify (config 3) step.
+"""
 import os
 import sys
 import time
@@ -7,6 +12,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
@@ -16,25 +22,23 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 from bn254_tpu import PrivateKey
 from bn254_tpu.dist import batch_verify as BV
+from bn254_tpu.hash import tai_batch as TB
 from bn254_tpu.hash.tai import hash_to_g1
 from bn254_tpu.host import curve as HC
 from bn254_tpu.utils import convert as CV
 from bn254_tpu.pairing import final_exp as FE
 from bn254_tpu.pairing.pairing import _miller_jit, _is_one_jit
 from bn254_tpu.fields import tower as T
+from tools.timing import measure, measure_compile_and_first
+
+stages = {}
 
 
-def t(name, fn, *a):
-    t0 = time.time()
-    out = jax.block_until_ready(fn(*a))
-    c = time.time() - t0
-    t0 = time.time()
-    out = jax.block_until_ready(fn(*a))
-    t0b = time.time() - t0
-    t0 = time.time()
-    out = jax.block_until_ready(fn(*a))
-    run = min(t0b, time.time() - t0)
-    print(f"{name:32s} compile+1st={c:7.1f}s  steady={run*1e3:9.1f} ms")
+def t(name, fn, *a, reps=4):
+    cold, out = measure_compile_and_first(fn, *a)
+    dt = measure(fn, *a, reps=reps)
+    stages[name] = dt
+    print(f"{name:32s} cold={cold:7.1f}s  steady={dt*1e3:9.2f} ms", flush=True)
     return out
 
 
@@ -47,28 +51,39 @@ hx, hy = CV.g1_batch_to_device_affine(hpts)
 sx, sy = CV.g1_batch_to_device_affine(sigs)
 pqx, pqy = CV.g2_batch_to_device_affine(pks)
 
+# device hash-to-G1 (config-3 includes it)
+blocks_np, cw, cs = TB.prepare_blocks_host(msgs)
+blocks = jnp.asarray(blocks_np)
+hash_jit = jax.jit(
+    lambda b: TB.hash_to_g1_batch(b, cw, cs, k_candidates=8)[:2]
+)
+t(f"hash_to_g1[{B}] (K=8)", hash_jit, blocks)
+
 px, py, qx, qy = BV._independent_pairs_jit(hx, hy, sx, sy, pqx, pqy)
-jax.block_until_ready(px.arr)
+np.asarray(px.arr[:1])
 
 f = t(f"miller[2x{B}]", _miller_jit, px, py, qx, qy)
 
 # combine pair axis: f has batch (2, B); product over axis 0
 from bn254_tpu.pairing import pairing as DP
+
 comb = jax.jit(lambda f: T.fq12_retag(DP.fq12_reduce_mul(f, axis=0)))
 g = t(f"pair-combine[{B}]", comb, f)
 
-fe_parts = []
-t0 = time.time()
-out = FE.final_exp_staged(g)
-jax.block_until_ready(out.c0.c0.c0.arr)
-print(f"{'final_exp_staged[%d]'%B:32s} compile+1st={time.time()-t0:7.1f}s", end="")
-t0 = time.time()
-out = FE.final_exp_staged(g)
-jax.block_until_ready(out.c0.c0.c0.arr)
-print(f"  steady={ (time.time()-t0)*1e3:9.1f} ms")
-
+out = t(f"final_exp[{B}]", FE.final_exp_staged, g)
 t(f"is_one[{B}]", _is_one_jit, out)
 
 # raw fq12 mul rate at this batch
 mul2 = jax.jit(lambda a, b: T.fq12_retag(T.fq12_mul(a, b)))
-h = t(f"fq12_mul[{B}]", mul2, g, g)
+t(f"fq12_mul[{B}]", mul2, g, g)
+
+total = sum(
+    v for k, v in stages.items()
+    if not k.startswith("fq12_mul")
+)
+print(f"\n--- config-3 step breakdown (B={B}) ---")
+for k, v in stages.items():
+    if k.startswith("fq12_mul"):
+        continue
+    print(f"{k:32s} {v*1e3:9.2f} ms  {v/total*100:5.1f}%")
+print(f"{'TOTAL':32s} {total*1e3:9.2f} ms  -> {B/total:.1f} verifies/s")
