@@ -141,8 +141,14 @@ def to_int(a) -> int:
 
 
 def const_el(x: int) -> El:
-    """Compile-time constant -> (NLIMBS,) El (canonical limbs)."""
-    return El(jnp.array(to_limbs(x, NLIMBS), dtype=U32), x + 1, 1 << LIMB_BITS)
+    """Compile-time constant -> (NLIMBS,) El (canonical limbs).
+
+    The array is a NumPy ndarray, not a device array: Python-level limb
+    indexing then yields scalar immediates, which is what the kernel-mode
+    paths need (Pallas kernels may not capture array constants) and lets
+    XLA fold them everywhere else."""
+    return El(np.array(to_limbs(x, NLIMBS), dtype=np.uint32), x + 1,
+              1 << LIMB_BITS)
 
 
 def _bc(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -202,16 +208,58 @@ def _carry_s_scan(cols: jnp.ndarray) -> jnp.ndarray:
     return limbs
 
 
+# True while tracing INSIDE a Pallas kernel body (kernels/fused.py): all
+# limb ops must then be straight-line register code — unrolled carries,
+# list-form CIOS, no nested pallas_call dispatch.
+_KERNEL_MODE = False
+
+
+def _unroll_carries() -> bool:
+    """Carry chains: straight-line unrolled code on TPU, lax.scan on CPU.
+
+    Measured (tools A/B on v5e, PERF.md): an 18-iteration XLA while-loop
+    costs ~26 us regardless of batch size — pure loop overhead — and a
+    separate Pallas carry kernel pays ~20 us launch + relayout, no
+    better. An unrolled chain fuses with the surrounding elementwise ops
+    (column construction, neighbours) at zero overhead. The scan form is
+    kept for CPU where the test suite's compile time dominates.
+    """
+    if _KERNEL_MODE:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _carry_u(cols: jnp.ndarray, out_len: int, col_max: int) -> jnp.ndarray:
     """Unsigned carry propagation: (K, *b) columns -> (out_len, *b) limbs."""
     assert col_max < 1 << 31
-    return _carry_u_scan(_pad_cols(cols, out_len))
+    cols = _pad_cols(cols, out_len)
+    if _unroll_carries():
+        c = jnp.zeros(cols.shape[1:], U32)
+        limbs = []
+        for i in range(out_len):
+            v = cols[i] + c
+            limbs.append(v & MASK)
+            c = v >> LIMB_BITS
+        return jnp.stack(limbs, axis=0)
+    return _carry_u_scan(cols)
 
 
 def _carry_s(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Signed carry propagation for int32 columns (arithmetic shifts
     propagate negative carries); total value must be non-negative."""
-    return _carry_s_scan(_pad_cols(cols.astype(I32), out_len))
+    cols = _pad_cols(cols.astype(I32), out_len)
+    if _unroll_carries():
+        c = jnp.zeros(cols.shape[1:], I32)
+        limbs = []
+        for i in range(out_len):
+            v = cols[i] + c
+            limbs.append((v & I32(LIMB_MASK)).astype(U32))
+            c = v >> LIMB_BITS
+        return jnp.stack(limbs, axis=0)
+    return _carry_s_scan(cols)
 
 
 def norm_limbs(a: El) -> El:
@@ -246,21 +294,51 @@ def _sub_offset(bound: int) -> tuple[int, El]:
     return c, const_el(c)
 
 
+def _sub_cols_inline(a_l, b_l, c_limbs, batch) -> jnp.ndarray:
+    """Kernel-mode fused column build + signed carry: per-limb scalar
+    offsets (no captured constant arrays), fully unrolled."""
+    carry = jnp.zeros(batch, I32)
+    limbs = []
+    for i in range(NLIMBS):
+        col = np.int32(c_limbs[i]) + carry
+        if a_l is not None:
+            col = col + a_l[i].astype(I32)
+        if b_l is not None:
+            col = col - b_l[i].astype(I32)
+        limbs.append(
+            jnp.broadcast_to((col & I32(LIMB_MASK)).astype(U32), batch)
+        )
+        carry = col >> LIMB_BITS
+    return jnp.stack(limbs, axis=0)
+
+
 def sub_mod(a: El, b: El) -> El:
     """a - b + 2^j p (signed carry chain; output limb-normalised)."""
     c_val, c_el = _sub_offset(b.vmax)
     assert a.lmax + (1 << LIMB_BITS) + b.lmax < (1 << 31)
     aa, ba = _bc2(a.arr, b.arr)
-    ca = _bc(c_el.arr, max(aa.ndim, ba.ndim))
-    cols = aa.astype(I32) + ca.astype(I32) - ba.astype(I32)
     out_v = a.vmax + c_val
     assert out_v <= CAPACITY
+    if _KERNEL_MODE:
+        batch = jnp.broadcast_shapes(aa.shape, ba.shape)[1:]
+        arr = _sub_cols_inline(
+            _limb_slices(aa), _limb_slices(ba), to_limbs(c_val, NLIMBS), batch
+        )
+        return El(arr, out_v, 1 << LIMB_BITS)
+    ca = _bc(c_el.arr, max(aa.ndim, ba.ndim))
+    cols = aa.astype(I32) + ca.astype(I32) - ba.astype(I32)
     return El(_carry_s(cols, NLIMBS), out_v, 1 << LIMB_BITS)
 
 
 def neg_mod(a: El) -> El:
     """(2^j p) - a."""
     c_val, c_el = _sub_offset(a.vmax)
+    if _KERNEL_MODE:
+        arr = _sub_cols_inline(
+            None, _limb_slices(a.arr), to_limbs(c_val, NLIMBS),
+            a.arr.shape[1:],
+        )
+        return El(arr, c_val + 1, 1 << LIMB_BITS)
     ca = _bc(c_el.arr, a.arr.ndim)
     cols = ca.astype(I32) - a.arr.astype(I32)
     return El(_carry_s(cols, NLIMBS), c_val + 1, 1 << LIMB_BITS)
@@ -325,6 +403,65 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
 # -p^{-1} mod 2^15 for the per-limb CIOS reduction digit
 PINV0 = np.uint32((-pow(P, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
 
+_P_LIMBS_NP = [np.uint32(x) for x in to_limbs(P, NLIMBS)]
+
+
+def _limb_slices(x):
+    """Per-limb slices of a (NLIMBS, *batch) operand for kernel-mode code.
+
+    NumPy-backed constants (const_el, broadcast-reshaped) reduce to
+    SCALAR immediates so Pallas kernel bodies never capture array
+    constants; traced operands slice normally."""
+    if isinstance(x, np.ndarray):
+        flat = x.reshape(NLIMBS, -1)
+        assert flat.shape[1] == 1 or all(
+            np.all(flat[j] == flat[j, 0]) for j in range(NLIMBS)
+        ), "non-uniform NumPy operand in kernel mode"
+        return [flat[j, 0] for j in range(NLIMBS)]
+    return [x[j] for j in range(NLIMBS)]
+
+
+def _mont_mul_inline(aa, bb, out_v: int) -> El:
+    """Straight-line CIOS on limb tensors (kernel mode).
+
+    Identical op sequence to kernels/montmul.py's Pallas body: the limb
+    axis is handled as a Python list of slices so the per-step shift is
+    register renaming, every carry is unrolled. Used when tracing INSIDE
+    a fused Pallas kernel (kernels/fused.py), where dispatching a nested
+    pallas_call is impossible and scans are hostile.
+
+    Operands are sliced per limb BEFORE any jnp op so that NumPy-backed
+    constants (const_el) stay scalar immediates — Pallas kernels may not
+    capture array constants.
+    """
+    shape = jnp.broadcast_shapes(aa.shape, bb.shape)
+    batch = shape[1:]
+    b_l = _limb_slices(bb)
+    a_l = _limb_slices(aa)
+    zero = jnp.zeros(batch, U32)
+    t = [zero] * (NLIMBS + 1)
+    for i in range(NLIMBS):
+        ai = a_l[i]
+        for j in range(NLIMBS):
+            prod = ai * b_l[j]  # exact in uint32 (limbs < 2^16)
+            t[j] = t[j] + (prod & MASK)
+            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+        m_i = (t[0] * PINV0) & MASK
+        for j in range(NLIMBS):
+            prod2 = m_i * _P_LIMBS_NP[j]
+            t[j] = t[j] + (prod2 & MASK)
+            t[j + 1] = t[j + 1] + (prod2 >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS  # t[0] & MASK == 0 by construction
+        t = t[1:] + [zero]
+        t[0] = t[0] + carry0
+    c = zero
+    limbs_out = []
+    for i in range(NLIMBS):
+        v = t[i] + c
+        limbs_out.append(jnp.broadcast_to(v & MASK, batch))
+        c = v >> LIMB_BITS
+    return El(jnp.stack(limbs_out, axis=0), out_v, 1 << LIMB_BITS)
+
 
 def mont_mul(a: El, b: El) -> El:
     """REDC(a*b) with R = 2^270, interleaved CIOS as a scan over a's limbs.
@@ -350,6 +487,10 @@ def mont_mul(a: El, b: El) -> El:
     assert out_v <= CAPACITY
 
     aa, bb = _bc2(a.arr, b.arr)
+
+    # Inside a fused Pallas kernel: straight-line CIOS on registers.
+    if _KERNEL_MODE:
+        return _mont_mul_inline(aa, bb, out_v)
 
     # Pallas fast path: VMEM-resident CIOS kernel (TPU, large batches) —
     # bit-identical to the scan below (see kernels/montmul.py).
@@ -418,6 +559,20 @@ def cond_sub(a: El, m: int, m_el: El | None = None) -> El:
     """a - m if a >= m else a (m a static int). Requires normalised limbs."""
     a = norm_limbs(a)
     me = m_el if m_el is not None else const_el(m)
+    out_v = min(a.vmax, max(m, a.vmax - m))
+
+    if _unroll_carries():
+        m_limbs = to_limbs(m, NLIMBS)
+        borrow = jnp.zeros(a.arr.shape[1:], U32)
+        diffs = []
+        for i in range(NLIMBS):
+            t = a.arr[i] + U32((1 << LIMB_BITS) + 0) - U32(m_limbs[i]) - borrow
+            diffs.append(t & MASK)
+            borrow = U32(1) - (t >> LIMB_BITS)
+        diff = jnp.stack(diffs, axis=0)
+        keep = (borrow != 0)[None]
+        return El(jnp.where(keep, a.arr, diff), out_v, 1 << LIMB_BITS)
+
     ma = jnp.broadcast_to(_bc(me.arr, a.arr.ndim), a.arr.shape)
 
     def step(borrow, pair):
@@ -429,8 +584,7 @@ def cond_sub(a: El, m: int, m_el: El | None = None) -> El:
         step, jnp.zeros(a.arr.shape[1:], U32), (a.arr, ma)
     )
     keep = (borrow != 0)[None]  # borrow -> a < m -> keep a
-    return El(jnp.where(keep, a.arr, diff), min(a.vmax, max(m, a.vmax - m)),
-              1 << LIMB_BITS)
+    return El(jnp.where(keep, a.arr, diff), out_v, 1 << LIMB_BITS)
 
 
 def canon(a: El) -> El:
@@ -450,6 +604,15 @@ def canon(a: El) -> El:
 def lt_const(a: El, m: int) -> jnp.ndarray:
     """a < m (batch bool)."""
     a = norm_limbs(a)
+
+    if _unroll_carries():
+        m_limbs = to_limbs(m, NLIMBS)
+        borrow = jnp.zeros(a.arr.shape[1:], U32)
+        for i in range(NLIMBS):
+            t = a.arr[i] + U32(1 << LIMB_BITS) - U32(m_limbs[i]) - borrow
+            borrow = U32(1) - (t >> LIMB_BITS)
+        return borrow != 0
+
     me = jnp.broadcast_to(_bc(const_el(m).arr, a.arr.ndim), a.arr.shape)
 
     def step(borrow, pair):

@@ -87,7 +87,7 @@ def _fq6_mul_by_0(g: Fq6, s0: Fq2) -> Fq6:
     return Fq6(p0, p1, p2)
 
 
-def fq12_mul_line(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
+def _fq12_mul_line_impl(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
     """f * (A + B w + C v w) — Karatsuba: r0 = f0 A + v f1 (B + C v),
     r1 = (f0+f1)(A+B + C v) - f0 A - f1(B + C v)."""
     t0 = _fq6_mul_by_0(f.c0, a)
@@ -99,12 +99,30 @@ def fq12_mul_line(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
     return T.fq12_squeeze(Fq12(r0, r1))
 
 
+def fq12_mul_line(f: Fq12, a: Fq2, b: Fq2, c: Fq2) -> Fq12:
+    """Sparse 034 line fold; ONE fused Pallas kernel on TPU (PERF.md)."""
+    if T._use_fused(*T._fq12_els(f), a.c0, b.c0, c.c0):
+        from ..kernels import fused as FK
+
+        return FK.fused_op(_fq12_mul_line_impl, "fq12_mul_line", f, a, b, c)
+    return _fq12_mul_line_impl(f, a, b, c)
+
+
 # ---------------------------------------------------------------------------
 # Miller loop steps
 # ---------------------------------------------------------------------------
 
 
 def _dbl_step(t: ProjG2, xp, yp):
+    """Tangent-line doubling (fused-kernel dispatched on TPU)."""
+    if T._use_fused(t.x.c0, t.y.c0, t.z.c0, xp, yp):
+        from ..kernels import fused as FK
+
+        return FK.fused_op(_dbl_step_impl, "g2_dbl_step", t, xp, yp)
+    return _dbl_step_impl(t, xp, yp)
+
+
+def _dbl_step_impl(t: ProjG2, xp, yp):
     """Tangent-line doubling. Returns (2T, (A, B, C))."""
     X, Y, Z = t
     # squares / products (gathered where trivially parallel)
@@ -138,6 +156,15 @@ def _dbl_step(t: ProjG2, xp, yp):
 
 
 def _add_step(t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
+    """Chord-line mixed addition (fused-kernel dispatched on TPU)."""
+    if T._use_fused(t.x.c0, qx.c0, qy.c0, xp, yp):
+        from ..kernels import fused as FK
+
+        return FK.fused_op(_add_step_impl, "g2_add_step", t, qx, qy, xp, yp)
+    return _add_step_impl(t, qx, qy, xp, yp)
+
+
+def _add_step_impl(t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
     """Chord-line mixed addition T + Q (Q affine). Returns (T+Q, (A,B,C))."""
     X, Y, Z = t
     theta = T.fq2_sub(Y, T.fq2_mul(qy, Z))

@@ -56,22 +56,36 @@ def readback_overhead() -> float:
 def measure(fn, *args, reps: int = 8, inner: int = 1) -> float:
     """Per-execution seconds of `fn(*args)`, overhead-corrected.
 
-    Enqueues `reps` executions back-to-back (the device pipeline stays
-    busy; dispatch is async) and syncs once at the end via readback.
-    `inner` is a divisor for fns that already iterate internally.
+    Enqueues executions back-to-back (the device pipeline stays busy;
+    dispatch is async) and syncs once at the end via readback. `inner`
+    is a divisor for fns that already iterate internally.
+
+    The readback overhead (~30 ms on the tunnel) is noisy, so the rep
+    count auto-scales until the measured window is >= 16x the overhead
+    (`reps` is the floor) — without this, sub-millisecond ops measure
+    garbage.
     """
     out = fn(*args)
     _readback(out)  # compile + first run
     oh = readback_overhead()
-    best = float("inf")
-    for _ in range(2):
+
+    def window(k: int) -> float:
         t0 = time.perf_counter()
-        for _ in range(reps):
+        for _ in range(k):
             out = fn(*args)
         _readback(out)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-    return max(best - oh, 1e-12) / (reps * inner)
+        return time.perf_counter() - t0
+
+    # pilot to estimate per-execution time, then scale reps
+    pilot = window(reps)
+    t_est = max((pilot - oh) / reps, 20e-6)  # floor: ~dispatch cost
+    target = max(reps, int(16 * oh / t_est) + 1)
+    target = min(target, max(reps, int(5.0 / t_est)), 20000)  # ~5 s cap
+    best = pilot / reps if target == reps else float("inf")
+    runs = 2 if target == reps else 2
+    for _ in range(runs):
+        best = min(best, window(target) / target)
+    return max(best - oh / target, 1e-12) / inner
 
 
 def measure_compile_and_first(fn, *args) -> tuple[float, object]:
