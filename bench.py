@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mode", default="independent",
                     choices=["independent", "fused", "fp12"])
+    ap.add_argument("--pipeline", default="staged",
+                    choices=["staged", "mono"],
+                    help="staged: several small jitted programs (compiles "
+                    "in seconds, same math); mono: one monolithic program")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -149,18 +153,31 @@ def main():
     # ---- device benchmark ----
     if args.mode == "independent":
         # config 3, hash INCLUDED: device SHA-256 K-candidate search +
-        # per-tuple pairing checks in one jitted program. A tuple whose
-        # hash misses all K counters (prob ~2^-K per msg) would need the
-        # host fallback; the bench asserts none did.
+        # per-tuple pairing checks. A tuple whose hash misses all K
+        # counters (prob ~2^-K per msg) would need the host fallback;
+        # the bench asserts none did.
         from functools import partial
 
-        @partial(jax.jit, static_argnames=("k",))
-        def config3(blocks, sx, sy, pqx, pqy, k):
-            hx, hy, found, _ = TB.hash_to_g1_batch(
-                blocks, ctr_word, ctr_shift, k_candidates=k
+        if args.pipeline == "mono":
+
+            @partial(jax.jit, static_argnames=("k",))
+            def config3(blocks, sx, sy, pqx, pqy, k):
+                hx, hy, found, _ = TB.hash_to_g1_batch(
+                    blocks, ctr_word, ctr_shift, k_candidates=k
+                )
+                ok = BV.verify_batch_independent(hx, hy, sx, sy, pqx, pqy)
+                return ok, found
+        else:
+            _hash_jit = jax.jit(
+                partial(TB.hash_to_g1_batch, k_candidates=K_CANDIDATES)
             )
-            ok = BV.verify_batch_independent(hx, hy, sx, sy, pqx, pqy)
-            return ok, found
+
+            def config3(blocks, sx, sy, pqx, pqy, k):
+                hx, hy, found, _ = _hash_jit(blocks, ctr_word, ctr_shift)
+                ok = BV.verify_batch_independent_staged(
+                    hx, hy, sx, sy, pqx, pqy
+                )
+                return ok, found
 
         sxe, sye = sx, sy
 

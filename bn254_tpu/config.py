@@ -32,6 +32,17 @@ class Config:
     # True/False = force. Mirrors the BN254_DISABLE_PALLAS env var.
     use_pallas: bool | None = None
 
+    # Fused tower-op Pallas kernels (kernels/fused.py): whole Fq12-level
+    # ops as single kernels. False falls back to leaf CIOS kernels with
+    # XLA glue. Mirrors BN254_DISABLE_FUSED.
+    fuse_tower_ops: bool = True
+
+    # Unroll the Miller loop / exp_u at trace time over their STATIC
+    # schedules (one fused step-body kernel per digit, no scan/cond/
+    # select glue, add work only on nonzero digits). Requires
+    # fuse_tower_ops. Mirrors BN254_DISABLE_UNROLL.
+    unroll_static_loops: bool = True
+
     # minimum flat batch for the Pallas kernel to beat the scan path.
     pallas_min_lanes: int = 256
 
@@ -53,6 +64,10 @@ class Config:
         env = {}
         if os.environ.get("BN254_DISABLE_PALLAS"):
             env["use_pallas"] = False
+        if os.environ.get("BN254_DISABLE_FUSED"):
+            env["fuse_tower_ops"] = False
+        if os.environ.get("BN254_DISABLE_UNROLL"):
+            env["unroll_static_loops"] = False
         if os.environ.get("BN254_K_CANDIDATES"):
             env["k_candidates"] = int(os.environ["BN254_K_CANDIDATES"])
         if os.environ.get("BN254_RLC_BITS"):

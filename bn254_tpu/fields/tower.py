@@ -58,8 +58,11 @@ class Fq12(NamedTuple):
 def _use_fused(*els: El) -> bool:
     if L._KERNEL_MODE:
         return False  # already inside a fused kernel body
+    from .. import config as C
     from ..kernels.montmul import use_pallas
 
+    if not C.DEFAULT.fuse_tower_ops:
+        return False
     batch = jnp.broadcast_shapes(*[e.arr.shape[1:] for e in els])
     return use_pallas(batch)
 

@@ -117,6 +117,12 @@ def _build(fn_key, fn, treedef, bounds_in, n_out, bounds_out, interpret):
             in_specs=[spec] * n_in,
             out_specs=[spec] * n_out,
             interpret=interpret,
+            # The straight-line fq12 bodies (54 leaf muls + carry chains
+            # on 12x(18,8,128) operands) need more scoped-VMEM stack than
+            # Mosaic's 16 MiB default; v5e has 128 MiB of VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(*arrs3)
         return [o.reshape(NLIMBS, n_padded) for o in outs]
 

@@ -37,6 +37,50 @@ _U_WINDOWS = [
 ]
 
 
+# fused step bodies for the trace-time-unrolled exp_u (the window
+# digits of u are compile-time constants, so the {1,f,f^2,f^3} table
+# select happens in PYTHON and zero-windows skip the multiply entirely)
+
+
+def _expu_step_impl(acc: Fq12, m: Fq12) -> Fq12:
+    """(acc^4) * m — one whole window step, straight-line (kernel)."""
+    acc = T.fq12_cyc_sq(acc)
+    acc = T.fq12_cyc_sq(T.fq12_retag(acc))
+    acc = T.fq12_mul(T.fq12_retag(acc), m)
+    return T.fq12_retag(acc)
+
+
+def _expu_sq2_impl(acc: Fq12) -> Fq12:
+    """acc^4 — a zero-window step, straight-line (kernel)."""
+    acc = T.fq12_cyc_sq(acc)
+    acc = T.fq12_cyc_sq(T.fq12_retag(acc))
+    return T.fq12_retag(acc)
+
+
+def _exp_u_unrolled(f: Fq12) -> Fq12:
+    """Trace-time-unrolled windowed exp_u: 31 fused step kernels.
+
+    Window digits are static, so zero windows (8 of 31) run a pure
+    double-squaring kernel — the scan form multiplies by `one` there —
+    and nonzero windows fold their table entry inside the same launch
+    as the squarings (no fq12_select glue at all).
+    """
+    from ..kernels import fused as FK
+
+    f = T.fq12_retag(f)
+    f2 = T.fq12_retag(T.fq12_cyc_sq(f))
+    f3 = T.fq12_retag(T.fq12_mul(f2, f))
+    table = {1: f, 2: f2, 3: f3}
+
+    acc = f  # the MSB of u is consumed by the init (as in the scan form)
+    for w in _U_WINDOWS:
+        if w:
+            acc = FK.fused_op(_expu_step_impl, "expu_step", acc, table[w])
+        else:
+            acc = FK.fused_op(_expu_sq2_impl, "expu_sq2", acc)
+    return acc
+
+
 def exp_u(f: Fq12) -> Fq12:
     """f^u for a CYCLOTOMIC f (all final-exp call sites qualify).
 
@@ -44,8 +88,14 @@ def exp_u(f: Fq12) -> Fq12:
     31 scan steps of (2 Granger-Scott cyclotomic squarings + one
     table multiply), with the {1, f, f^2, f^3} table selected by the
     static window digits — half the leaf multiplications of the
-    bit-serial masked form.
+    bit-serial masked form. On TPU with fused kernels the loop unrolls
+    at trace time instead (`_exp_u_unrolled`).
     """
+    from .. import config as C
+
+    if C.DEFAULT.unroll_static_loops and T._use_fused(*T._fq12_els(f)):
+        return _exp_u_unrolled(f)
+
     f = T.fq12_retag(f)
     f2 = T.fq12_retag(T.fq12_cyc_sq(f))
     f3 = T.fq12_retag(T.fq12_mul(f2, f))

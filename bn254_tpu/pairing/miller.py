@@ -241,6 +241,79 @@ def _twist_frob(qx: Fq2, qy: Fq2, power: int):
     return T.fq2_mul(qx, cx), T.fq2_mul(qy, cy)
 
 
+# ---------------------------------------------------------------------------
+# fused step bodies: the whole per-digit Miller work as ONE Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _dbl_body_impl(f: Fq12, t: ProjG2, xp, yp):
+    """sq + tangent double + sparse line fold, straight-line (kernel)."""
+    f = T.fq12_sq(f)
+    t2, (a, b, c) = _dbl_step_impl(t, xp, yp)
+    f = _fq12_mul_line_impl(f, a, b, c)
+    return _pin_fq12(f), _pin_proj(t2)
+
+
+def _add_body_impl(f: Fq12, t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
+    """chord add + sparse line fold, straight-line (kernel)."""
+    t2, (a, b, c) = _add_step_impl(t, qx, qy, xp, yp)
+    f = _fq12_mul_line_impl(f, a, b, c)
+    return _pin_fq12(f), _pin_proj(t2)
+
+
+def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
+    """Trace-time-unrolled Miller loop over the STATIC NAF schedule.
+
+    The signed NAF of 6u+2 is a compile-time constant, so instead of a
+    `lax.scan` with a masked `cond` addition, the loop unrolls into 65
+    fused double-body kernels and 23 fused add-body kernels (21 nonzero
+    digits + 2 Frobenius steps) — one Pallas launch per digit, zero
+    select/cond glue, and the add work runs ONLY for nonzero digits.
+    Carrier bounds are pinned to (STD_BOUND, 2^16) inside each kernel so
+    every launch reuses the same two compiled programs.
+    """
+    from ..kernels import fused as FK
+
+    batch = jnp.broadcast_shapes(xp.batch_shape, qx.c0.batch_shape)
+    f = _pin_fq12(T.fq12_one(batch))
+    t = _pin_proj(ProjG2(qx, qy, T.fq2_one(batch)))
+    pqx, pqy = _pin_fq2(qx), _pin_fq2(qy)
+    nqy = _pin_fq2(T.fq2_neg(qy))
+    xpp, ypp = _pin_el(xp), _pin_el(yp)
+
+    for d in _ATE_NAF:
+        f, t = FK.fused_op(_dbl_body_impl, "miller_dbl_body", f, t, xpp, ypp)
+        if d != 0:
+            f, t = FK.fused_op(
+                _add_body_impl,
+                "miller_add_body",
+                f,
+                t,
+                pqx,
+                pqy if d > 0 else nqy,
+                xpp,
+                ypp,
+            )
+
+    q1x, q1y = _twist_frob(pqx, pqy, 1)
+    q2x, q2y = _twist_frob(pqx, pqy, 2)
+    for ax, ay in ((q1x, q1y), (q2x, T.fq2_neg(q2y))):
+        f, t = FK.fused_op(
+            _add_body_impl,
+            "miller_add_body",
+            f,
+            t,
+            _pin_fq2(ax),
+            _pin_fq2(ay),
+            xpp,
+            ypp,
+        )
+
+    if inf_mask is not None:
+        f = T.fq12_select(inf_mask, T.fq12_one(batch), f)
+    return f
+
+
 def _naf(m: int):
     """Non-adjacent form, LSB first, digits in {-1, 0, 1}."""
     out = []
@@ -279,6 +352,13 @@ def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     computing a masked add every step. Digit -1 adds -Q (y negated) —
     the dropped vertical-line factors are subfield elements.
     """
+    from .. import config as C
+
+    if C.DEFAULT.unroll_static_loops and T._use_fused(
+        xp, yp, qx.c0, qy.c0
+    ):
+        return _miller_loop_unrolled(xp, yp, qx, qy, inf_mask)
+
     batch = xp.batch_shape
     f0 = _pin_fq12(T.fq12_one(batch))
     t0 = _pin_proj(ProjG2(qx, qy, T.fq2_one(batch)))

@@ -6,6 +6,8 @@ tampered batch (both staged and monolithic pipelines), and the typed
 error for a non-divisible batch.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -64,6 +66,12 @@ def test_sharded_staged_accept_and_tamper(mesh, batch):
     assert not bool(jax.device_get(run(hx, hy, sx, sy, pqxb, pqyb, w)))
 
 
+@pytest.mark.skipif(
+    not os.environ.get("BN254_RUN_SLOW"),
+    reason="monolithic sharded program takes >30 min to compile on the "
+    "CPU mesh; the staged pipeline (default, tested above) is the "
+    "production path. Set BN254_RUN_SLOW=1 to include.",
+)
 def test_sharded_monolithic_accept_and_tamper(mesh, batch):
     msgs, sks, hpts, sigs, pks, dev = batch
     hx, hy, sx, sy, pqx, pqy, w = dev
