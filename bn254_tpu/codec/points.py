@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from ..constants import P
 from ..errors import (
+    IndexOutOfBoundsError,
     InvalidEncodingError,
     InvalidGroupPointError,
     InvalidLengthError,
@@ -44,6 +45,15 @@ def _fq_from_be(b: bytes) -> int:
     return v
 
 
+def u256_get_bit(value: int, index: int) -> bool:
+    """Bit accessor mirroring `arith::U256::get_bit` semantics: the
+    reference's compression sign derives y parity through it and maps a
+    miss to IndexOutOfBounds (utils.rs:92, error.rs:9-10)."""
+    if not 0 <= index < 256:
+        raise IndexOutOfBoundsError(f"bit index {index} out of range [0, 256)")
+    return bool((value >> index) & 1)
+
+
 def _u512_of_fq2(c) -> int:
     """U512(c) = c_im * p + c_re — the reference's `to_u512` (utils.rs:40-45)."""
     return (c[1] % P) * P + (c[0] % P)
@@ -59,7 +69,7 @@ def g1_to_compressed(pt_jac) -> bytes:
     if aff is None:
         raise PointInJacobianError("cannot serialise the identity point")
     x, y = aff
-    sign = b"\x03" if y & 1 else b"\x02"
+    sign = b"\x03" if u256_get_bit(y, 0) else b"\x02"
     return sign + x.to_bytes(32, "big")
 
 

@@ -46,6 +46,11 @@ class Config:
     # minimum flat batch for the Pallas kernel to beat the scan path.
     pallas_min_lanes: int = 256
 
+    # scoped-VMEM budget (MiB) for the fused tower-op kernels; None =
+    # derive from the device generation (128 MiB VMEM parts get 100,
+    # 16 MiB parts disable fusion). Mirrors BN254_VMEM_LIMIT_MB.
+    vmem_limit_mb: int | None = None
+
     # staged pipelines (several small jitted programs) vs one monolithic
     # program; staging compiles ~10x faster on this toolchain.
     staged: bool = True
@@ -70,6 +75,8 @@ class Config:
             env["unroll_static_loops"] = False
         if os.environ.get("BN254_K_CANDIDATES"):
             env["k_candidates"] = int(os.environ["BN254_K_CANDIDATES"])
+        if os.environ.get("BN254_VMEM_LIMIT_MB"):
+            env["vmem_limit_mb"] = int(os.environ["BN254_VMEM_LIMIT_MB"])
         if os.environ.get("BN254_RLC_BITS"):
             env["rlc_bits"] = int(os.environ["BN254_RLC_BITS"])
         if os.environ.get("BN254_COORDINATOR"):

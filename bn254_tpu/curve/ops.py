@@ -15,7 +15,7 @@ from ..fields import tower as T
 
 
 class FqOps:
-    """Fq: elements are (16, *batch) uint32 Montgomery limb tensors."""
+    """Fq: elements are (18, *batch) uint32 Montgomery limb tensors."""
 
     @staticmethod
     def add(a, b):

@@ -54,8 +54,8 @@ def _neg_g2_one(batch_shape):
 def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     """N independent verifies -> bool (B,).
 
-    hx/hy: hash points H(m_i) (16, B); sx/sy: signatures (16, B);
-    pqx/pqy: public keys (tower.Fq2 with (16, B) components).
+    hx/hy: hash points H(m_i) (18, B); sx/sy: signatures (18, B);
+    pqx/pqy: public keys (tower.Fq2 with (18, B) components).
     Each tuple checks e(H, pk) * e(sig, -G2::one) == 1 with its own
     final exponentiation (exact per-tuple accept/reject semantics,
     matching reference `verify` one-by-one).
@@ -106,7 +106,7 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
     """Fused check: prod_i e([w_i]H_i, pk_i) * e(S, -G2) == 1 where
     S = sum_i [w_i]sig_i. Returns a scalar bool.
 
-    weights: (16, B) canonical limb tensor of the combination scalars.
+    weights: (18, B) canonical limb tensor of the combination scalars.
     One shared final exponentiation for the whole batch.
     """
     # [w_i]H_i and [w_i]sig_i (batched fixed ladders)

@@ -499,6 +499,16 @@ def mont_mul(a: El, b: El) -> El:
     if MK.use_pallas(jnp.broadcast_shapes(aa.shape, bb.shape)[1:]):
         return El(MK.montmul_batched(aa, bb), out_v, 1 << LIMB_BITS)
 
+    return El(_mont_mul_scan(aa, bb), out_v, 1 << LIMB_BITS)
+
+
+# Module-level jit for the same reason as _carry_u_scan: EAGER mont_mul
+# calls (stage boundaries, codecs, tests, host-side tooling) would
+# otherwise re-trace + re-XLA-compile a fresh scan closure per call —
+# each eager call paid a full compile, making eager field code ~100x
+# slower than the math itself.
+@jax.jit
+def _mont_mul_scan(aa: jnp.ndarray, bb: jnp.ndarray) -> jnp.ndarray:
     shape = jnp.broadcast_shapes(aa.shape, bb.shape)
     batch = shape[1:]
     aa = jnp.broadcast_to(aa, shape)
@@ -522,8 +532,7 @@ def mont_mul(a: El, b: El) -> El:
         return t, None
 
     t, _ = jax.lax.scan(step, t0, aa)
-    total = _carry_u(t, NLIMBS, _COL_LIMIT)
-    return El(total, out_v, 1 << LIMB_BITS)
+    return _carry_u(t, NLIMBS, _COL_LIMIT)
 
 
 def mont_sqr(a: El) -> El:
@@ -574,17 +583,21 @@ def cond_sub(a: El, m: int, m_el: El | None = None) -> El:
         return El(jnp.where(keep, a.arr, diff), out_v, 1 << LIMB_BITS)
 
     ma = jnp.broadcast_to(_bc(me.arr, a.arr.ndim), a.arr.shape)
+    return El(_cond_sub_scan(a.arr, ma), out_v, 1 << LIMB_BITS)
 
+
+@jax.jit  # module-level: eager calls (canon ladders) hit one executable
+def _cond_sub_scan(arr: jnp.ndarray, ma: jnp.ndarray) -> jnp.ndarray:
     def step(borrow, pair):
         av, mv = pair
         t = av + U32(1 << LIMB_BITS) - mv - borrow
         return U32(1) - (t >> LIMB_BITS), t & MASK
 
     borrow, diff = jax.lax.scan(
-        step, jnp.zeros(a.arr.shape[1:], U32), (a.arr, ma)
+        step, jnp.zeros(arr.shape[1:], U32), (arr, ma)
     )
     keep = (borrow != 0)[None]  # borrow -> a < m -> keep a
-    return El(jnp.where(keep, a.arr, diff), out_v, 1 << LIMB_BITS)
+    return jnp.where(keep, arr, diff)
 
 
 def canon(a: El) -> El:
@@ -614,14 +627,18 @@ def lt_const(a: El, m: int) -> jnp.ndarray:
         return borrow != 0
 
     me = jnp.broadcast_to(_bc(const_el(m).arr, a.arr.ndim), a.arr.shape)
+    return _lt_scan(a.arr, me)
 
+
+@jax.jit  # module-level: eager calls hit one cached executable per shape
+def _lt_scan(arr: jnp.ndarray, me: jnp.ndarray) -> jnp.ndarray:
     def step(borrow, pair):
         av, mv = pair
         t = av + U32(1 << LIMB_BITS) - mv - borrow
         return U32(1) - (t >> LIMB_BITS), None
 
     borrow, _ = jax.lax.scan(
-        step, jnp.zeros(a.arr.shape[1:], U32), (a.arr, me)
+        step, jnp.zeros(arr.shape[1:], U32), (arr, me)
     )
     return borrow != 0
 

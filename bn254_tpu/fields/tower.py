@@ -59,9 +59,12 @@ def _use_fused(*els: El) -> bool:
     if L._KERNEL_MODE:
         return False  # already inside a fused kernel body
     from .. import config as C
+    from ..kernels.fused import fused_supported
     from ..kernels.montmul import use_pallas
 
     if not C.DEFAULT.fuse_tower_ops:
+        return False
+    if not fused_supported():  # VMEM budget too small (e.g. v2/v3 parts)
         return False
     batch = jnp.broadcast_shapes(*[e.arr.shape[1:] for e in els])
     return use_pallas(batch)

@@ -98,6 +98,12 @@ def hash_to_g1_batch(blocks: jnp.ndarray, ctr_word: int, ctr_shift: int,
     y_sel = L.elmap(
         lambda a: jnp.take_along_axis(a, idx, axis=2)[:, :, 0], y_mont
     )
+    # The odd-y branch is `neg_mod` of a STD_BOUND-tagged pow output, so
+    # the select carries vmax slightly above STD_BOUND — crush it back
+    # below the pairing pipeline's carrier bound here, post-selection
+    # (cost: ONE leaf mul on (18, B), not (18, B, K)). This was the
+    # BENCH_r02 trace-time regression (VERDICT round 2, weak #1).
+    y_sel = L.maybe_vreduce(y_sel, L.STD_BOUND)
     return x_sel, y_sel, found, first
 
 

@@ -36,6 +36,37 @@ from .montmul import _TILE
 U32 = jnp.uint32
 BLOCK = 1024  # batch elements per grid step (one (8,128) tile per limb)
 
+# fused fq12 bodies need ~this much scoped VMEM for their live tiles;
+# devices with less fall back to leaf kernels (fused_supported()).
+_MIN_VMEM_BYTES = 64 * 1024 * 1024
+
+
+def _vmem_limit_bytes() -> int:
+    """Scoped-VMEM budget for the fused kernels.
+
+    Config override first (BN254_VMEM_LIMIT_MB); otherwise derived from
+    the device generation: v4/v5/v6 parts carry 128 MiB of VMEM (budget
+    100 MiB, headroom for Mosaic's own scratch), v2/v3 only 16 MiB —
+    too small for the straight-line fq12 bodies, so `fused_supported`
+    reports False and dispatch keeps the leaf-kernel path.
+    """
+    from .. import config as C
+
+    if C.DEFAULT.vmem_limit_mb is not None:
+        return C.DEFAULT.vmem_limit_mb * 1024 * 1024
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _MIN_VMEM_BYTES
+    if "v2" in kind or "v3" in kind:
+        return 16 * 1024 * 1024
+    return 100 * 1024 * 1024
+
+
+def fused_supported() -> bool:
+    """True when the device's VMEM budget fits the fused fq12 bodies."""
+    return _vmem_limit_bytes() >= _MIN_VMEM_BYTES
+
 
 def _flatten_els(tree):
     """Pytree -> (El leaves, treedef) treating El as a leaf."""
@@ -119,9 +150,10 @@ def _build(fn_key, fn, treedef, bounds_in, n_out, bounds_out, interpret):
             interpret=interpret,
             # The straight-line fq12 bodies (54 leaf muls + carry chains
             # on 12x(18,8,128) operands) need more scoped-VMEM stack than
-            # Mosaic's 16 MiB default; v5e has 128 MiB of VMEM.
+            # Mosaic's 16 MiB default; budget derived from the device
+            # (see _vmem_limit_bytes / config.vmem_limit_mb).
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=_vmem_limit_bytes()
             ),
         )(*arrs3)
         return [o.reshape(NLIMBS, n_padded) for o in outs]

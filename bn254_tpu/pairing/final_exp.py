@@ -57,13 +57,15 @@ def _expu_sq2_impl(acc: Fq12) -> Fq12:
     return T.fq12_retag(acc)
 
 
-def _exp_u_unrolled(f: Fq12) -> Fq12:
+def _exp_u_unrolled(f: Fq12, windows=None) -> Fq12:
     """Trace-time-unrolled windowed exp_u: 31 fused step kernels.
 
     Window digits are static, so zero windows (8 of 31) run a pure
     double-squaring kernel — the scan form multiplies by `one` there —
     and nonzero windows fold their table entry inside the same launch
     as the squarings (no fq12_select glue at all).
+
+    windows: schedule override (tests use a truncated prefix).
     """
     from ..kernels import fused as FK
 
@@ -73,7 +75,7 @@ def _exp_u_unrolled(f: Fq12) -> Fq12:
     table = {1: f, 2: f2, 3: f3}
 
     acc = f  # the MSB of u is consumed by the init (as in the scan form)
-    for w in _U_WINDOWS:
+    for w in (_U_WINDOWS if windows is None else windows):
         if w:
             acc = FK.fused_op(_expu_step_impl, "expu_step", acc, table[w])
         else:
@@ -95,12 +97,22 @@ def exp_u(f: Fq12) -> Fq12:
 
     if C.DEFAULT.unroll_static_loops and T._use_fused(*T._fq12_els(f)):
         return _exp_u_unrolled(f)
+    return _exp_u_scan(f)
 
+
+def _exp_u_scan(f: Fq12, window_digits=None) -> Fq12:
+    """lax.scan form of `exp_u` (the CPU / non-fused path).
+
+    window_digits: schedule override for truncated-schedule equivalence
+    tests (must match the prefix given to `_exp_u_unrolled`)."""
     f = T.fq12_retag(f)
     f2 = T.fq12_retag(T.fq12_cyc_sq(f))
     f3 = T.fq12_retag(T.fq12_mul(f2, f))
     one = T.fq12_retag(T.fq12_one(f.c0.c0.c0.batch_shape))
-    windows = jnp.array(_U_WINDOWS, dtype=jnp.uint32)
+    windows = jnp.array(
+        _U_WINDOWS if window_digits is None else window_digits,
+        dtype=jnp.uint32,
+    )
 
     def body(acc, w):
         acc = T.fq12_cyc_sq(acc)

@@ -191,9 +191,17 @@ def _add_step_impl(t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
 def _pin_el(e):
     """Force El static metadata to the (STD_BOUND, 2^16) fixed point so
     `lax.cond` branch outputs and `lax.scan` carriers share one pytree
-    aux signature regardless of which op chain produced them."""
+    aux signature regardless of which op chain produced them.
+
+    Inputs whose static value bound exceeds STD_BOUND (e.g. `neg_mod` of
+    a STD_BOUND-tagged value — the hash path's odd-y negation) are value-
+    reduced first: one leaf multiplication, decided at trace time, so the
+    pin accepts EVERY producer instead of asserting (the BENCH_r02
+    regression class — see tests/test_bound_pinning.py)."""
     from ..fields.limbs import STD_BOUND
 
+    if e.vmax > STD_BOUND:
+        e = L.vreduce(e)
     if e.lmax > (1 << 16):
         e = L.norm_limbs(e)
     return L.retag(e, STD_BOUND, 1 << 16)
@@ -261,7 +269,8 @@ def _add_body_impl(f: Fq12, t: ProjG2, qx: Fq2, qy: Fq2, xp, yp):
     return _pin_fq12(f), _pin_proj(t2)
 
 
-def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
+def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None,
+                          naf=None) -> Fq12:
     """Trace-time-unrolled Miller loop over the STATIC NAF schedule.
 
     The signed NAF of 6u+2 is a compile-time constant, so instead of a
@@ -271,6 +280,9 @@ def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     select/cond glue, and the add work runs ONLY for nonzero digits.
     Carrier bounds are pinned to (STD_BOUND, 2^16) inside each kernel so
     every launch reuses the same two compiled programs.
+
+    naf: digit schedule override (tests use a truncated prefix so the
+    unrolled-vs-scan composition equivalence is CI-affordable).
     """
     from ..kernels import fused as FK
 
@@ -281,7 +293,7 @@ def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     nqy = _pin_fq2(T.fq2_neg(qy))
     xpp, ypp = _pin_el(xp), _pin_el(yp)
 
-    for d in _ATE_NAF:
+    for d in (_ATE_NAF if naf is None else naf):
         f, t = FK.fused_op(_dbl_body_impl, "miller_dbl_body", f, t, xpp, ypp)
         if d != 0:
             f, t = FK.fused_op(
@@ -337,7 +349,7 @@ _ATE_NAF = _ATE_NAF[1:]
 def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
     """f_{6u+2, Q}(P) with Frobenius addition steps.
 
-    xp, yp: affine G1 coords, Montgomery limb tensors (16, *batch).
+    xp, yp: affine G1 coords, Montgomery limb tensors (18, *batch).
     qx, qy: affine twist G2 coords (tower.Fq2).
     inf_mask: optional batch bool — where True the output is forced to 1
     (matching `pairing(identity, ·) == 1`).
@@ -358,13 +370,22 @@ def miller_loop(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None) -> Fq12:
         xp, yp, qx.c0, qy.c0
     ):
         return _miller_loop_unrolled(xp, yp, qx, qy, inf_mask)
+    return _miller_loop_scan(xp, yp, qx, qy, inf_mask)
 
+
+def _miller_loop_scan(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None,
+                      naf=None) -> Fq12:
+    """lax.scan form of the Miller loop (the CPU / non-fused path).
+
+    naf: digit schedule override for truncated-schedule equivalence
+    tests (must match the prefix given to `_miller_loop_unrolled`).
+    """
     batch = xp.batch_shape
     f0 = _pin_fq12(T.fq12_one(batch))
     t0 = _pin_proj(ProjG2(qx, qy, T.fq2_one(batch)))
-    nqy = T.fq2_retag(T.fq2_neg(qy), L.STD_BOUND)
+    nqy = _pin_fq2(T.fq2_neg(qy))
 
-    digits = jnp.array(_ATE_NAF, dtype=jnp.int32)
+    digits = jnp.array(_ATE_NAF if naf is None else naf, dtype=jnp.int32)
 
     def add_branch(f, t, d):
         qy_eff = T.fq2_select(d > 0, qy, nqy)

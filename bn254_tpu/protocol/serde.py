@@ -11,7 +11,21 @@ from __future__ import annotations
 
 import json
 
+from ..errors import SerializationError
 from .types import PrivateKey, PublicKey
+
+
+def _decode_byte_seq(data: str) -> bytes:
+    """JSON sequence-of-byte-values -> bytes.
+
+    Malformed wire data maps to SerializationError, the reference's
+    catch-all for (de)serialisation failures
+    (/root/reference/src/error.rs:27-28,64-74)."""
+    try:
+        seq = json.loads(data)
+        return bytes(seq)
+    except (json.JSONDecodeError, TypeError, ValueError) as e:
+        raise SerializationError(f"invalid serialized byte sequence: {e}")
 
 
 def private_key_to_json(key: PrivateKey) -> str:
@@ -19,7 +33,7 @@ def private_key_to_json(key: PrivateKey) -> str:
 
 
 def private_key_from_json(data: str) -> PrivateKey:
-    return PrivateKey.from_bytes(bytes(json.loads(data)))
+    return PrivateKey.from_bytes(_decode_byte_seq(data))
 
 
 def public_key_to_json(key: PublicKey) -> str:
@@ -27,4 +41,4 @@ def public_key_to_json(key: PublicKey) -> str:
 
 
 def public_key_from_json(data: str) -> PublicKey:
-    return PublicKey.from_compressed(bytes(json.loads(data)))
+    return PublicKey.from_compressed(_decode_byte_seq(data))

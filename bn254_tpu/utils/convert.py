@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..constants import MONT_R, NLIMBS, P
+from ..errors import ToAffineConversionError
 from ..fields import limbs as L
 from ..fields import tower as T
 from ..host import curve as HC
@@ -27,7 +28,10 @@ def g1_batch_to_device_affine(points_jac):
     pass hash points / signatures, which are never the identity in valid
     flows); use the inf-mask variants if needed."""
     affs = [HC.g1_to_affine(p) for p in points_jac]
-    assert all(a is not None for a in affs), "identity in G1 batch"
+    if any(a is None for a in affs):
+        # the reference's CurveError::ToAffineConversion path
+        # (/root/reference/src/error.rs:37): identity has no affine form
+        raise ToAffineConversionError("identity point in G1 batch")
     xs = L.from_ints([_host_to_mont(a[0]) for a in affs], vmax=P)
     ys = L.from_ints([_host_to_mont(a[1]) for a in affs], vmax=P)
     return xs, ys
@@ -36,7 +40,8 @@ def g1_batch_to_device_affine(points_jac):
 def g2_batch_to_device_affine(points_jac):
     """List of host Jacobian G2 points -> (Fq2 x, Fq2 y) limb tensors."""
     affs = [HC.g2_to_affine(p) for p in points_jac]
-    assert all(a is not None for a in affs), "identity in G2 batch"
+    if any(a is None for a in affs):
+        raise ToAffineConversionError("identity point in G2 batch")
 
     def fq2(vals):
         return T.Fq2(

@@ -60,7 +60,13 @@ PAYLOAD = FQ12_BYTES + G1J_BYTES
 
 
 def rounds(n: int) -> int:
-    """ppermute rounds of collectives.allreduce_monoid for axis size n."""
+    """ppermute rounds of collectives.allreduce_monoid for axis size n.
+
+    Mirrors the loop structure of `allreduce_monoid` exactly;
+    tests/test_dist_collectives.py::test_scaling_report_round_count
+    asserts the two agree (by counting real `_ppermute_shift` calls)
+    for every axis size 2..17, power-of-two or not.
+    """
     r = 0
     k = 0
     offset = 0
@@ -123,8 +129,15 @@ def main():
     results = []
     for n_chips, n_hosts in [(1, 1), (4, 1), (8, 1), (64, 8), (256, 32)]:
         r = rounds(n_chips)
-        # cross-host rounds go over DCN; within-host over ICI. In
-        # recursive doubling the LAST log2(n_hosts) doublings cross hosts.
+        # cross-host rounds go over DCN; within-host over ICI. MODEL
+        # ASSUMPTION: a CONTIGUOUS rank-to-host layout (ranks [k*c,
+        # (k+1)*c) on host k, the jax.distributed default), under which
+        # recursive doubling's shifts stay host-local until the shift
+        # distance reaches the per-host chip count — i.e. exactly the
+        # LAST log2(n_hosts) doublings cross hosts. A strided/shuffled
+        # rank layout would push more rounds onto DCN; with ~1 KB
+        # payloads even the all-DCN worst case (r rounds * ~10 us) stays
+        # <0.2 ms, so the efficiency conclusion is layout-robust.
         import math
 
         dcn_rounds = min(r, int(math.log2(max(n_hosts, 1)) + 0.5)) if n_hosts > 1 else 0

@@ -81,11 +81,12 @@ def measure(fn, *args, reps: int = 8, inner: int = 1) -> float:
     t_est = max((pilot - oh) / reps, 20e-6)  # floor: ~dispatch cost
     target = max(reps, int(16 * oh / t_est) + 1)
     target = min(target, max(reps, int(5.0 / t_est)), 20000)  # ~5 s cap
-    best = pilot / reps if target == reps else float("inf")
-    runs = 2 if target == reps else 2
-    for _ in range(runs):
-        best = min(best, window(target) / target)
-    return max(best - oh / target, 1e-12) / inner
+    # keep the pilot window as a candidate (it is a valid measurement at
+    # k=reps); overhead is subtracted per-window below, scaled by its k
+    best = (pilot - oh) / reps
+    for _ in range(2):
+        best = min(best, (window(target) - oh) / target)
+    return max(best, 1e-12) / inner
 
 
 def measure_compile_and_first(fn, *args) -> tuple[float, object]:
