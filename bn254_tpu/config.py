@@ -46,6 +46,11 @@ class Config:
     # minimum flat batch for the Pallas kernel to beat the scan path.
     pallas_min_lanes: int = 256
 
+    # leaf-multiply algorithm: "cios" (VPU Pallas kernel / scan) or
+    # "fold" (MXU fold-matmul, kernels/fold_mul.py — the PERF §5 spike).
+    # Mirrors BN254_MUL_ALGO.
+    mul_algo: str = "cios"
+
     # scoped-VMEM budget (MiB) for the fused tower-op kernels; None =
     # derive from the device generation (128 MiB VMEM parts get 100,
     # 16 MiB parts disable fusion). Mirrors BN254_VMEM_LIMIT_MB.
@@ -73,6 +78,8 @@ class Config:
             env["fuse_tower_ops"] = False
         if os.environ.get("BN254_DISABLE_UNROLL"):
             env["unroll_static_loops"] = False
+        if os.environ.get("BN254_MUL_ALGO"):
+            env["mul_algo"] = os.environ["BN254_MUL_ALGO"]
         if os.environ.get("BN254_K_CANDIDATES"):
             env["k_candidates"] = int(os.environ["BN254_K_CANDIDATES"])
         if os.environ.get("BN254_VMEM_LIMIT_MB"):
