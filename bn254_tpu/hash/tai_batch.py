@@ -113,12 +113,41 @@ def hash_to_g1_device(messages: list[bytes], k_candidates: int | None = None):
     Returns (x_mont, y_mont) limbs.El of shape (18, B), bit-exact with the
     host `hash_to_g1_affine` for every message. k_candidates defaults to
     config.DEFAULT.k_candidates.
+
+    Mixed-length batches are supported by bucketing per message length
+    (the counter-byte position in the SHA word grid is a per-program
+    static); each bucket runs one device program, and the results are
+    re-stitched in input order.
     """
     from .. import config as C
     from .tai import hash_to_g1_affine
 
     if k_candidates is None:
         k_candidates = C.DEFAULT.k_candidates
+
+    lengths = {len(m) for m in messages}
+    if len(lengths) > 1:
+        buckets: dict[int, list[int]] = {}
+        for i, m in enumerate(messages):
+            buckets.setdefault(len(m), []).append(i)
+        xs, ys, order = [], [], []
+        for mlen in sorted(buckets):
+            idx = buckets[mlen]
+            bx, by = hash_to_g1_device(
+                [messages[i] for i in idx], k_candidates
+            )
+            xs.append(bx)
+            ys.append(by)
+            order.extend(idx)
+        inv = np.empty(len(messages), dtype=np.int64)
+        inv[np.array(order)] = np.arange(len(messages))
+        cat = lambda els: L.El(
+            jnp.concatenate([e.arr for e in els], axis=1)[:, inv],
+            max(e.vmax for e in els),
+            max(e.lmax for e in els),
+        )
+        return cat(xs), cat(ys)
+
     blocks, w, s = prepare_blocks_host(messages)
     x, y, found, _ = hash_to_g1_batch(
         jnp.asarray(blocks), w, s, k_candidates
