@@ -547,6 +547,13 @@ def _mont_mul_scan(aa: jnp.ndarray, bb: jnp.ndarray) -> jnp.ndarray:
 
 
 def mont_sqr(a: El) -> El:
+    if not _KERNEL_MODE:
+        from .. import config as C
+
+        if C.DEFAULT.mul_algo == "fold":
+            from ..kernels import fold_mul as FMK
+
+            return FMK.fold_sqr(a)
     return mont_mul(a, a)
 
 

@@ -196,21 +196,71 @@ def fold_mul_arrays(aa: jnp.ndarray, bb: jnp.ndarray,
     bb = jnp.broadcast_to(bb, shape).reshape(NLIMBS, -1)
     a_l = [aa[i] for i in range(NLIMBS)]
     b_l = [bb[i] for i in range(NLIMBS)]
-
     cols, col_bound = _product_columns(a_l, b_l, lmax_a, lmax_b)
+    return _fold_columns(cols, col_bound, shape)
 
-    # digit count from the exact static column bounds (3 for normalised
-    # limbs, 4 for lazy ones)
+
+def _square_columns(a_l, lmax: int):
+    """Lazy squaring columns: 171 products instead of 324.
+
+    C[k] = sum_{i<j, i+j=k} 2*a_i*a_j + (k even ? a_{k/2}^2 : 0); the
+    doubling rides a shift on the 30-bit product (exact in u32 for
+    normalised limbs), and pairs of doubled products still group.
+    """
+    prod_max = (lmax - 1) ** 2
+    assert 2 * prod_max < (1 << 32)
+    group = max(1, (1 << 32) // max(2 * prod_max, 1))
+    group = min(group, 8)
+    cols = [None] * (NCOLS + 1)
+    col_bound = [0] * (NCOLS + 1)
+
+    def add(k, x, bound):
+        cols[k] = x if cols[k] is None else cols[k] + x
+        col_bound[k] += bound
+
+    for k in range(2 * NLIMBS - 1):
+        terms = []  # (i, j, doubled)
+        for i in range(max(0, k - NLIMBS + 1), min(k + 1, NLIMBS)):
+            j = k - i
+            if i < j:
+                terms.append((i, j, True))
+            elif i == j:
+                terms.append((i, j, False))
+        for g in range(0, len(terms), group):
+            chunk = terms[g : g + group]
+            s = None
+            hi_bound = 0
+            for i, j, dbl in chunk:
+                prod = a_l[i] * a_l[j]
+                if dbl:
+                    prod = prod << 1
+                    hi_bound += 2 * prod_max
+                else:
+                    hi_bound += prod_max
+                s = prod if s is None else s + prod
+            assert hi_bound < (1 << 32)
+            add(k, s & MASK, 1 << LIMB_BITS)
+            add(k + 1, s >> LIMB_BITS, (hi_bound >> LIMB_BITS) + 1)
+    for k in range(NCOLS):
+        if cols[k] is None:
+            cols[k] = jnp.zeros_like(a_l[0])
+            col_bound[k] = 1
+    assert cols[NCOLS] is None or col_bound[NCOLS] == 0
+    return cols[:NCOLS], col_bound[:NCOLS]
+
+
+def _fold_columns(cols, col_bound, shape):
+    """Shared tail of fold_mul/fold_sqr: digit-slice, matmul, carry,
+    bound-crush. Returns ((18, *shape) limbs, exact value bound)."""
     max_col = max(col_bound)
     ndigits = -(-max(max_col - 1, 1).bit_length() // DIGIT_BITS)
 
-    # 7-bit digit slices, stacked along the matmul contraction axis
     digit_mask = np.uint32((1 << DIGIT_BITS) - 1)
     rows = []
     for a in range(ndigits):
         for k in range(NCOLS):
             rows.append(((cols[k] >> (DIGIT_BITS * a)) & digit_mask))
-    x = jnp.stack(rows, axis=0).astype(BF16)  # (36*ndigits, N)
+    x = jnp.stack(rows, axis=0).astype(BF16)
 
     glo, ghi = _fold_matrices(ndigits)
     dot = functools.partial(
@@ -218,22 +268,38 @@ def fold_mul_arrays(aa: jnp.ndarray, bb: jnp.ndarray,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=F32,
     )
-    out_lo = dot(glo, x)  # (18, N), integers < 2^23: exact in f32
+    out_lo = dot(glo, x)
     out_hi = dot(ghi, x)
     assert NCOLS * ndigits * 127 * 255 < 1 << 24  # f32-exact accumulation
-    pre = out_lo.astype(U32) + (out_hi.astype(U32) << 8)  # < 2^30
+    pre = out_lo.astype(U32) + (out_hi.astype(U32) << 8)
 
-    # exact static value bound of the fold: each column contributes at
-    # most (sum of its digits) * (p-1) <= 127*ndigits*(p-1)
     fold_bound = sum(
         min(127 * ndigits, cb - 1) * (P - 1) for cb in col_bound
     ) + 1
-    assert fold_bound < (1 << R_BITS)  # fits 18 limbs, no carry-out
+    assert fold_bound < (1 << R_BITS)
 
     limbs, c = _carry([pre[i] for i in range(NLIMBS)], NLIMBS)
     limbs, bound = _fold_tail(limbs, fold_bound)
-    out = jnp.stack(limbs, axis=0).reshape(shape)
-    return out, bound
+    return jnp.stack(limbs, axis=0).reshape(shape), bound
+
+
+def fold_sqr_arrays(aa: jnp.ndarray, lmax: int):
+    """(18, *batch) u32 limbs -> (REDC(a*a) limbs, value_bound)."""
+    shape = aa.shape
+    aa2 = aa.reshape(NLIMBS, -1)
+    a_l = [aa2[i] for i in range(NLIMBS)]
+    cols, col_bound = _square_columns(a_l, lmax)
+    return _fold_columns(cols, col_bound, shape)
+
+
+def fold_sqr(a):
+    """El-level squaring via the fold-matmul pipeline."""
+    from ..fields import limbs as L
+
+    a = L.norm_limbs(a) if a.lmax > (1 << LIMB_BITS) else a
+    assert a.vmax * a.vmax < (1 << (2 * R_BITS))
+    arr, bound = fold_sqr_arrays(a.arr, a.lmax)
+    return L.El(arr, bound, 1 << LIMB_BITS)
 
 
 def fold_mul(a, b):

@@ -97,3 +97,25 @@ def test_matches_mont_mul_scan():
     ref_i = [int(v) % P for v in L.to_ints(ref)]
     got_i = [int(v) % P for v in L.to_ints(got)]
     assert ref_i == got_i
+
+
+def test_fold_sqr_matches_oracle():
+    rng = random.Random(42)
+    vals = [rng.randrange(P) for _ in range(6)] + [0, 1, P - 1, P]
+    a_el = L.from_ints(vals, vmax=max(vals) + 1)
+    out = FM.fold_sqr(a_el)
+    got = [int(v) % P for v in L.to_ints(out)]
+    want = [_oracle(v, v) for v in vals]
+    assert got == want
+    assert out.vmax < 1 << 258 and out.lmax == 1 << 15
+
+
+def test_fold_sqr_lazy_inputs():
+    rng = random.Random(77)
+    vals = [STD - 1 - rng.randrange(1 << 64) for _ in range(4)]
+    a_el = L.retag(L.from_ints(vals, vmax=max(vals) + 1), STD)
+    lazy = L.add_mod(a_el, L.from_ints([1] * 4, vmax=2))  # lmax 2^15+2
+    out = FM.fold_sqr(lazy)
+    got = [int(v) % P for v in L.to_ints(out)]
+    want = [_oracle(v + 1, v + 1) for v in vals]
+    assert got == want

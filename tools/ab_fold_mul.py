@@ -67,8 +67,22 @@ def main():
                 x, _ = FM.fold_mul_arrays(x, b, 1 << 15, 1 << 15)
             return x
 
+        def fold_sqr_chain(a, b):
+            x = a
+            for _ in range(CHAIN):
+                x, _ = FM.fold_sqr_arrays(x, 1 << 15)
+            return x
+
+        def cios_sqr_chain(a, b):
+            x = a
+            for _ in range(CHAIN):
+                x = MK.montmul_batched(x, x)
+            return x
+
         r_cios = bench("cios_pallas", cios_chain, a, b, CHAIN)
         r_fold = bench("fold_matmul", fold_chain, a, b, CHAIN)
+        bench("cios_sqr", cios_sqr_chain, a, b, CHAIN)
+        bench("fold_sqr", fold_sqr_chain, a, b, CHAIN)
         print(json.dumps({
             "batch": batch, "speedup_fold_vs_cios": round(r_fold / r_cios, 3)
         }), flush=True)
