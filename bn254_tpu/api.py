@@ -111,3 +111,31 @@ def aggregate_public_keys(public_keys: list[PublicKey]) -> PublicKey:
     for k in public_keys:
         acc = HC.g2_add(acc, k.point)
     return PublicKey(acc)
+
+
+def batch_check_public_keys(public_keys_g2, public_keys_g1):
+    """Batched G2<->G1 key-consistency check (reference `check_public_keys`,
+    /root/reference/src/ecdsa.rs:78-93): e(G1::one, PK2_i) * e(-PK1_i,
+    G2::one) == 1 per pair. Returns np.ndarray of bool, one per pair.
+    """
+    from .fields import tower as T
+    from .pairing import pairing as DP
+
+    n = len(public_keys_g2)
+    assert len(public_keys_g1) == n
+    B = (n,)
+    g1x, g1y = CV.g1_batch_to_device_affine(
+        [HC.g1_neg(k.point) for k in public_keys_g1]
+    )
+    pqx, pqy = CV.g2_batch_to_device_affine([k.point for k in public_keys_g2])
+
+    onex_j, oney_j = CV.g1_batch_to_device_affine([HC.G1_ONE])
+    onex = L.bcast_to(L.elmap(lambda a: a[:, 0], onex_j), B)
+    oney = L.bcast_to(L.elmap(lambda a: a[:, 0], oney_j), B)
+    g2x, g2y = CV.g2_const_affine(HC.G2_ONE, B)
+
+    px = L.stack([onex, g1x])
+    py = L.stack([oney, g1y])
+    qx = T.fq2_stack([pqx, g2x])
+    qy = T.fq2_stack([pqy, g2y])
+    return np.asarray(DP.pairing_check_staged(px, py, qx, qy))

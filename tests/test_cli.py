@@ -76,3 +76,15 @@ def test_batch_verify_cli_mixed_lengths(capsys, monkeypatch):
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 1
     assert [line.split()[0] for line in out] == ["ok", "ok", "ok", "FAIL"]
+
+
+def test_batch_check_public_keys():
+    from bn254_tpu import PrivateKey, PublicKey, api
+    from bn254_tpu.protocol.types import PublicKeyG1
+
+    sks = [PrivateKey(1000003 + i) for i in range(3)]
+    pk2 = [PublicKey.from_private_key(k) for k in sks]
+    pk1 = [PublicKeyG1.from_private_key(k) for k in sks]
+    pk1[2] = PublicKeyG1.from_private_key(sks[0])  # mismatch
+    ok = api.batch_check_public_keys(pk2, pk1)
+    assert ok.tolist() == [True, True, False]
