@@ -51,6 +51,14 @@ class Config:
     # Mirrors BN254_MUL_ALGO.
     mul_algo: str = "cios"
 
+    # shared-squaring 2-pair Miller loop with host-precomputed constant
+    # -G2::one lines for the independent verification tier (pairing/
+    # precompute.py): one fq12_sq per digit per TUPLE instead of per
+    # pair, no device G2 arithmetic for the constant pair. Requires
+    # unroll_static_loops + the fused TPU path. Mirrors BN254_PAIR2 /
+    # BN254_DISABLE_PAIR2.
+    pair2_miller: bool = False
+
     # scoped-VMEM budget (MiB) for the fused tower-op kernels; None =
     # derive from the device generation (128 MiB VMEM parts get 100,
     # 16 MiB parts disable fusion). Mirrors BN254_VMEM_LIMIT_MB.
@@ -80,6 +88,10 @@ class Config:
             env["unroll_static_loops"] = False
         if os.environ.get("BN254_MUL_ALGO"):
             env["mul_algo"] = os.environ["BN254_MUL_ALGO"]
+        if os.environ.get("BN254_PAIR2"):
+            env["pair2_miller"] = True
+        if os.environ.get("BN254_DISABLE_PAIR2"):
+            env["pair2_miller"] = False
         if os.environ.get("BN254_K_CANDIDATES"):
             env["k_candidates"] = int(os.environ["BN254_K_CANDIDATES"])
         if os.environ.get("BN254_VMEM_LIMIT_MB"):

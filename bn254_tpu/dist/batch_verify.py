@@ -60,8 +60,22 @@ def verify_batch_independent(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     final exponentiation (exact per-tuple accept/reject semantics,
     matching reference `verify` one-by-one).
     """
+    if _use_pair2(hx, sx, pqx):
+        return DP.pairing_check2(hx, hy, pqx, pqy, sx, sy)
     px, py, qx, qy = _independent_pairs(hx, hy, sx, sy, pqx, pqy)
     return DP.pairing_check(px, py, qx, qy)
+
+
+def _use_pair2(hx, sx, pqx) -> bool:
+    """Dispatch to the shared-squaring constant-Q 2-pair Miller loop
+    (pairing.pairing_check2*): config-gated, fused/unrolled TPU only."""
+    from .. import config as C
+
+    return (
+        C.DEFAULT.pair2_miller
+        and C.DEFAULT.unroll_static_loops
+        and T._use_fused(hx, sx, pqx.c0)
+    )
 
 
 def _independent_pairs(hx, hy, sx, sy, pqx, pqy):
@@ -81,6 +95,8 @@ _independent_pairs_jit = jax.jit(_independent_pairs)
 def verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
     """Staged-pipeline variant of `verify_batch_independent` (same result,
     several small jitted programs instead of one huge one)."""
+    if _use_pair2(hx, sx, pqx):
+        return DP.pairing_check2_staged(hx, hy, pqx, pqy, sx, sy)
     px, py, qx, qy = _independent_pairs_jit(hx, hy, sx, sy, pqx, pqy)
     return DP.pairing_check_staged(px, py, qx, qy)
 

@@ -326,6 +326,104 @@ def _miller_loop_unrolled(xp, yp, qx: Fq2, qy: Fq2, inf_mask=None,
     return f
 
 
+# ---------------------------------------------------------------------------
+# shared-squaring 2-pair Miller loop with a constant-Q second pair
+# ---------------------------------------------------------------------------
+
+
+def _dbl_body2_impl(f: Fq12, t: ProjG2, xp0, yp0, ca, cb, cc, xp1, yp1):
+    """One doubling digit for BOTH pairs of a verification tuple under a
+    SINGLE shared accumulator squaring: sq + pair-0 tangent double/fold +
+    pair-1 precomputed-constant-line fold (straight-line kernel body).
+
+    Valid because every pair's Miller recurrence is f_i <- f_i^2 * l_i,
+    so the product satisfies (prod f_i) <- (prod f_i)^2 * prod l_i —
+    one fq12_sq per digit per TUPLE instead of one per digit per PAIR.
+    """
+    f = T.fq12_sq(f)
+    t2, (a, b, c) = _dbl_step_impl(t, xp0, yp0)
+    f = _fq12_mul_line_impl(f, a, b, c)
+    a1 = T.fq2_mul_fq(ca, yp1)
+    b1 = T.fq2_mul_fq(cb, xp1)
+    f = _fq12_mul_line_impl(f, a1, b1, cc)
+    return _pin_fq12(f), _pin_proj(t2)
+
+
+def _add_body2_impl(f: Fq12, t: ProjG2, qx, qy, xp0, yp0, ca, cb, cc,
+                    xp1, yp1):
+    """One addition digit for both pairs (no shared squaring on adds)."""
+    t2, (a, b, c) = _add_step_impl(t, qx, qy, xp0, yp0)
+    f = _fq12_mul_line_impl(f, a, b, c)
+    a1 = T.fq2_mul_fq(ca, yp1)
+    b1 = T.fq2_mul_fq(cb, xp1)
+    f = _fq12_mul_line_impl(f, a1, b1, cc)
+    return _pin_fq12(f), _pin_proj(t2)
+
+
+def _miller_loop_pair2_unrolled(xp0, yp0, qx: Fq2, qy: Fq2, xp1, yp1,
+                                coeffs, naf=None) -> Fq12:
+    """miller(P0, Q0) * miller(P1, Qc) with Qc a host constant.
+
+    Trace-time-unrolled over the static NAF schedule like
+    `_miller_loop_unrolled`, but each launch advances BOTH pairs of a
+    verification tuple: pair 0 (variable Q0, e.g. a public key) does the
+    full tangent/chord step; pair 1 (constant Qc, e.g. -G2::one) folds a
+    line from host-precomputed coefficients (pairing/precompute.py) —
+    zero G2 point arithmetic on the device for that pair. One shared
+    accumulator squaring per digit replaces the two of the stacked-pair
+    form, and the final pair-axis product multiply disappears.
+
+    coeffs: `precompute.g2_line_coeffs(Qc_affine, naf)` output; its
+    launch order is asserted against this loop's digit schedule.
+    """
+    from ..kernels import fused as FK
+
+    batch = jnp.broadcast_shapes(xp0.batch_shape, qx.c0.batch_shape,
+                                 xp1.batch_shape)
+    f = _pin_fq12(T.fq12_one(batch))
+    t = _pin_proj(ProjG2(qx, qy, T.fq2_one(batch)))
+    pqx, pqy = _pin_fq2(qx), _pin_fq2(qy)
+    nqy = _pin_fq2(T.fq2_neg(qy))
+    xpp0, ypp0 = _pin_el(xp0), _pin_el(yp0)
+    xpp1, ypp1 = _pin_el(xp1), _pin_el(yp1)
+
+    def const3(entry, kind):
+        k, ca, cb, cc = entry
+        assert k == kind, f"coeff schedule mismatch: {k} != {kind}"
+        return (
+            _pin_fq2(T.const_fq2(ca)),
+            _pin_fq2(T.const_fq2(cb)),
+            _pin_fq2(T.const_fq2(cc)),
+        )
+
+    it = iter(coeffs)
+    for d in (_ATE_NAF if naf is None else naf):
+        ca, cb, cc = const3(next(it), "dbl")
+        f, t = FK.fused_op(
+            _dbl_body2_impl, "miller_dbl_body2",
+            f, t, xpp0, ypp0, ca, cb, cc, xpp1, ypp1,
+        )
+        if d != 0:
+            ca, cb, cc = const3(next(it), "add")
+            f, t = FK.fused_op(
+                _add_body2_impl, "miller_add_body2",
+                f, t, pqx, pqy if d > 0 else nqy,
+                xpp0, ypp0, ca, cb, cc, xpp1, ypp1,
+            )
+
+    q1x, q1y = _twist_frob(pqx, pqy, 1)
+    q2x, q2y = _twist_frob(pqx, pqy, 2)
+    for ax, ay in ((q1x, q1y), (q2x, T.fq2_neg(q2y))):
+        ca, cb, cc = const3(next(it), "add")
+        f, t = FK.fused_op(
+            _add_body2_impl, "miller_add_body2",
+            f, t, _pin_fq2(ax), _pin_fq2(ay),
+            xpp0, ypp0, ca, cb, cc, xpp1, ypp1,
+        )
+    assert next(it, None) is None, "unconsumed precomputed coefficients"
+    return f
+
+
 def _naf(m: int):
     """Non-adjacent form, LSB first, digits in {-1, 0, 1}."""
     out = []
