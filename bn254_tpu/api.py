@@ -132,8 +132,19 @@ def batch_check_public_keys(public_keys_g2, public_keys_g1):
     onex_j, oney_j = CV.g1_batch_to_device_affine([HC.G1_ONE])
     onex = L.bcast_to(L.elmap(lambda a: a[:, 0], onex_j), B)
     oney = L.bcast_to(L.elmap(lambda a: a[:, 0], oney_j), B)
-    g2x, g2y = CV.g2_const_affine(HC.G2_ONE, B)
 
+    from .dist.batch_verify import _use_pair2
+
+    if _use_pair2(onex, g1x, pqx):
+        # both G2 points of the check are constants; pair 1 (the G1-side
+        # key against +G2::one) folds precomputed generator lines
+        return np.asarray(
+            DP.pairing_check2_staged(
+                onex, oney, pqx, pqy, g1x, g1y, q_const="g2_one"
+            )
+        )
+
+    g2x, g2y = CV.g2_const_affine(HC.G2_ONE, B)
     px = L.stack([onex, g1x])
     py = L.stack([oney, g1y])
     qx = T.fq2_stack([pqx, g2x])

@@ -118,7 +118,16 @@ def g2_line_coeffs(q_affine, naf=None):
 @functools.lru_cache(maxsize=None)
 def neg_g2_one_coeffs():
     """Coefficients for Q = -G2::one — the constant second pair of the
-    reference's verify / check_public_keys pairing equations."""
+    reference's verify pairing equation (ecdsa.rs:54-56)."""
     from ..host import curve as HC
 
     return g2_line_coeffs(HC.g2_to_affine(HC.g2_neg(HC.G2_ONE)))
+
+
+@functools.lru_cache(maxsize=None)
+def g2_one_coeffs():
+    """Coefficients for Q = +G2::one — the constant second pair of the
+    key-consistency check (ecdsa.rs:80-85, with the G1 side negated)."""
+    from ..host import curve as HC
+
+    return g2_line_coeffs(HC.g2_to_affine(HC.G2_ONE))

@@ -54,9 +54,12 @@ def _canon12(x):
     return np.stack([np.asarray(L.canon(e).arr) for e in T._fq12_els(x)])
 
 
-def test_pair2_matches_pair_product_truncated(jit_routed_bodies):
+@pytest.mark.parametrize("q_const", [HC.g2_neg(HC.G2_ONE), HC.G2_ONE])
+def test_pair2_matches_pair_product_truncated(jit_routed_bodies, q_const):
     """pair2 unrolled == product of the two independent scan Miller
-    values, truncated NAF with both add signs (+ the Frobenius adds)."""
+    values, truncated NAF with both add signs (+ the Frobenius adds),
+    for both constant second points the protocol uses (-G2::one in
+    verify, +G2::one in the key-consistency check)."""
     naf = (1, -1)
     B = 2
     sks = [7, 11]
@@ -69,13 +72,13 @@ def test_pair2_matches_pair_product_truncated(jit_routed_bodies):
     pqx, pqy = CV.g2_batch_to_device_affine(
         [HC.g2_mul(HC.G2_ONE, k) for k in sks]
     )
-    coeffs = PC.g2_line_coeffs(NEG_G2_AFF, naf=naf)
+    coeffs = PC.g2_line_coeffs(HC.g2_to_affine(q_const), naf=naf)
     got = _canon12(
         M._miller_loop_pair2_unrolled(hx, hy, pqx, pqy, sx, sy, coeffs,
                                       naf=naf)
     )
 
-    ngx, ngy = CV.g2_const_affine(HC.g2_neg(HC.G2_ONE), (B,))
+    ngx, ngy = CV.g2_const_affine(q_const, (B,))
     scan = jax.jit(
         lambda a, b, c, d: M._miller_loop_scan(a, b, c, d, naf=naf)
     )
