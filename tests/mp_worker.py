@@ -20,8 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from bn254_tpu.utils.jcache import enable as _enable_jax_cache
+_enable_jax_cache()
 
 
 def main():

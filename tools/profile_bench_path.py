@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Instrument the exact staged bench path at a given batch."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from bn254_tpu.utils.jcache import enable as _enable_jax_cache
+_enable_jax_cache()
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 

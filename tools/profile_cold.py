@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from bn254_tpu.utils.jcache import enable as _enable_jax_cache
+_enable_jax_cache()
 jax.config.update("jax_explain_cache_misses", True)
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
