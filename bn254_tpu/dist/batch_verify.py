@@ -118,18 +118,45 @@ def random_weights(n: int, bits: int | None = None):
     return [1] + [secrets.randbits(bits) | 1 for _ in range(n - 1)]
 
 
+def _ladder_bits() -> int:
+    """Ladder length for the RLC weight scalar-muls.
+
+    Weights from `random_weights` are < 2^rlc_bits, so the fixed ladder
+    only needs rlc_bits steps (128 by default — half the generic 256-step
+    ladder, and the weighting stage dominates the fused tier's cost).
+    Callers passing their own weight tensors must keep them < 2^rlc_bits.
+    """
+    from .. import config as C
+
+    return min(int(C.DEFAULT.rlc_bits), 256)
+
+
+def _check_weights(weights):
+    """Host-side guard: every RLC weight must fit the ladder length."""
+    bits = _ladder_bits()
+    for w in weights:
+        if int(w) >> bits:
+            raise ValueError(
+                f"RLC weight {int(w):#x} exceeds {bits} bits "
+                "(config.rlc_bits); the weight ladder would truncate it"
+            )
+    return weights
+
+
 def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
     """Fused check: prod_i e([w_i]H_i, pk_i) * e(S, -G2) == 1 where
     S = sum_i [w_i]sig_i. Returns a scalar bool.
 
-    weights: (18, B) canonical limb tensor of the combination scalars.
+    weights: (18, B) canonical limb tensor of the combination scalars,
+    each < 2^config.rlc_bits (see `_ladder_bits`).
     One shared final exponentiation for the whole batch.
     """
     # [w_i]H_i and [w_i]sig_i (batched fixed ladders)
     h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
     s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
-    wh = DG1.scalar_mul(h_j, weights)
-    ws = DG1.scalar_mul(s_j, weights)
+    nb = _ladder_bits()
+    wh = DG1.scalar_mul(h_j, weights, nb)
+    ws = DG1.scalar_mul(s_j, weights, nb)
 
     # S = sum_i [w_i]sig_i via tree reduction on the batch axis
     s_sum = _g1_tree_sum(ws)
@@ -148,20 +175,18 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
     return T.fq12_is_one(FE.final_exp(total))
 
 
-_weight_jit = jax.jit(
-    lambda hx, hy, sx, sy, w: _weight_and_sum(hx, hy, sx, sy, w)
-)
-
-
-def _weight_and_sum(hx, hy, sx, sy, w):
+def _weight_and_sum(hx, hy, sx, sy, w, nbits=256):
     h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
     s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
-    wh = DG1.scalar_mul(h_j, w)
-    ws = DG1.scalar_mul(s_j, w)
+    wh = DG1.scalar_mul(h_j, w, nbits)
+    ws = DG1.scalar_mul(s_j, w, nbits)
     s_sum = _g1_tree_sum(ws)
     whx, why, _ = DG1.to_affine(wh)
     ssx, ssy, _ = DG1.to_affine(s_sum)
     return whx, why, ssx, ssy
+
+
+_weight_jit = jax.jit(_weight_and_sum, static_argnames=("nbits",))
 
 
 _fused_combine_jit = jax.jit(
@@ -175,7 +200,9 @@ def verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights):
     """Staged-pipeline variant of `verify_batch_fused`."""
     from ..pairing.pairing import _is_one_jit, _miller_jit
 
-    whx, why, ssx, ssy = _weight_jit(hx, hy, sx, sy, weights)
+    whx, why, ssx, ssy = _weight_jit(
+        hx, hy, sx, sy, weights, nbits=_ladder_bits()
+    )
     f = _miller_jit(whx, why, pqx, pqy)
     ngx, ngy = _neg_g2_one(())
     f_sig = _miller_jit(ssx, ssy, ngx, ngy)
@@ -270,7 +297,7 @@ def make_sharded_verifier(
             w = (
                 weights
                 if isinstance(weights, L.El)
-                else CV.scalars_to_device(weights)
+                else CV.scalars_to_device(_check_weights(weights))
             )
             if hx.batch_shape[-1] % n_dev != 0:
                 raise InvalidLengthError(
@@ -339,7 +366,7 @@ def make_sharded_verifier(
         w = (
             weights
             if isinstance(weights, L.El)
-            else CV.scalars_to_device(weights)
+            else CV.scalars_to_device(_check_weights(weights))
         )
         # place inputs as GLOBAL batch-sharded arrays: required for
         # multi-process (every process passes the same full-batch host
@@ -367,8 +394,9 @@ def _local_stage(hx, hy, sx, sy, pqx, pqy, w):
     bs = hx.batch_shape
     h_j = J.JPoint(hx, hy, L.mont_one(bs))
     s_j = J.JPoint(sx, sy, L.mont_one(bs))
-    wh = DG1.scalar_mul(h_j, w)
-    ws = DG1.scalar_mul(s_j, w)
+    nb = _ladder_bits()
+    wh = DG1.scalar_mul(h_j, w, nb)
+    ws = DG1.scalar_mul(s_j, w, nb)
     whx, why, _ = DG1.to_affine(wh)
     f = M.miller_loop(whx, why, pqx, pqy)
     f_local = T.fq12_retag(DP.fq12_reduce_mul(f, axis=0))
