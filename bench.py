@@ -92,10 +92,132 @@ def bench_fp12_mul(args):
     }), flush=True)
 
 
+def bench_fused_chunked(args):
+    """BASELINE config 5 existence proof: a ~1M-tuple fused verification
+    streamed through HBM-sized chunks on ONE chip.
+
+    The fused check's reductions are monoids (Fq12 product, G1 sum), so
+    the batch runs as `--chunks` repetitions of the compiled local stage
+    (device hash + GLV weight ladders + Miller loops + chunk reductions
+    — the identical per-shard program of the mesh-sharded tier) plus two
+    O(1) accumulators and ONE shared final exponentiation. The measured
+    program contains the hash (honesty contract of --mode fused).
+
+    The fixture (sigs, pks) is generated ON DEVICE (host signing of 1M
+    tuples would take hours); sk_i are small odd ints — irrelevant to
+    the measurement, since every verification kernel is fixed-schedule
+    and input-value-independent. K=32 hash candidates: per-message miss
+    probability 2^-32, so no host fallback is needed even at 1M.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bn254_tpu.curve import g1 as DG1
+    from bn254_tpu.curve import g2 as DG2
+    from bn254_tpu.curve import glv as GLV
+    from bn254_tpu.curve import jacobian as JJ
+    from bn254_tpu.dist import batch_verify as BV
+    from bn254_tpu.fields import limbs as L
+    from bn254_tpu.hash import tai_batch as TB
+    from bn254_tpu.utils import convert as CV
+    from tools.timing import measure, measure_compile_and_first
+
+    B = args.batch or (256 if args.smoke else 1048576)
+    nch = args.chunks
+    assert B % nch == 0, "batch must divide chunks"
+    CH = B // nch
+    K = 8 if args.smoke else 32
+
+    t0 = time.time()
+    msgs = [b"bench1m-%08d" % i for i in range(B)]
+    blocks_np, ctr_word, ctr_shift = TB.prepare_blocks_host(msgs)
+    log(f"host block prep: {time.time()-t0:.1f}s for B={B}")
+
+    t0 = time.time()
+    _hash_jit = jax.jit(
+        functools.partial(TB.hash_to_g1_batch, k_candidates=K)
+    )
+    sk_host = [((0x1234567 + 977 * i) % (1 << 30)) | 1 for i in range(B)]
+    sig_mul = jax.jit(
+        lambda hx, hy, sk: DG1.to_affine(
+            DG1.scalar_mul(
+                JJ.JPoint(hx, hy, L.mont_one(hx.batch_shape)), sk, 32
+            )
+        )
+    )
+    g2gen = DG2.generator((CH,))
+    pk_mul = jax.jit(
+        lambda sk: DG2.to_affine(DG2.scalar_mul(g2gen, sk, 32))
+    )
+    blocks_dev, sxs, sys, pqxs, pqys = [], [], [], [], []
+    for ci in range(nch):
+        bl = jnp.asarray(blocks_np[ci * CH : (ci + 1) * CH])
+        blocks_dev.append(bl)
+        hx, hy, found, _ = _hash_jit(bl, ctr_word, ctr_shift)
+        assert bool(np.asarray(found).all()), "fixture hash miss"
+        sk = CV.scalars_to_device(sk_host[ci * CH : (ci + 1) * CH])
+        sx, sy, _ = sig_mul(hx, hy, sk)
+        pqx, pqy, _ = pk_mul(sk)
+        sxs.append(sx)
+        sys.append(sy)
+        pqxs.append(pqx)
+        pqys.append(pqy)
+    log(f"device fixture: {time.time()-t0:.1f}s ({nch} chunks of {CH})")
+
+    w = BV.random_weights(B)
+    ws = [
+        BV._slice_batch(w, slice(ci * CH, (ci + 1) * CH))
+        for ci in range(nch)
+    ]
+    stage = functools.partial(BV._local_stage_jit, nbits=w.half_bits)
+
+    def fn():
+        f_acc = s_acc = None
+        founds = []
+        for ci in range(nch):
+            hx, hy, found, _ = _hash_jit(
+                blocks_dev[ci], ctr_word, ctr_shift
+            )
+            f_c, s_c = stage(
+                hx, hy, sxs[ci], sys[ci], pqxs[ci], pqys[ci], ws[ci]
+            )
+            founds.append(found)
+            if f_acc is None:
+                f_acc, s_acc = f_c, GLV._pin_point(s_c)
+            else:
+                f_acc, s_acc = BV._chunk_combine_jit(f_acc, s_acc, f_c, s_c)
+        ok = BV._chunk_finalize(f_acc, s_acc)
+        return ok, jnp.stack(founds)
+
+    cold, (ok0, found0) = measure_compile_and_first(fn)
+    assert bool(np.asarray(found0).all()), "device hash missed a message"
+    assert bool(np.asarray(ok0)), "chunked benchmark batch failed!"
+    log(f"compile+first run (cold): {cold:.1f}s")
+    dev_time = measure(fn, reps=1 if args.smoke else 2)
+    rate = B / dev_time
+    log(f"device (warm): {dev_time:.2f} s for {B} verifies "
+        f"-> {rate:.1f} verifications/s/chip")
+    print(json.dumps({
+        "metric": "bls_verifications_per_sec_per_chip[fused_chunked]",
+        "value": round(rate, 2),
+        "unit": "verifications/s",
+        "vs_baseline": 0.0,
+        "cold_compile_s": round(cold, 1),
+        "batch": B,
+        "chunks": nch,
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="stream --mode fused through this many chunks "
+                    "(config-5 1M path; device-generated fixture)")
     ap.add_argument("--mode", default="independent",
                     choices=["independent", "fused", "sharded", "fp12"])
     ap.add_argument("--pipeline", default="staged",
@@ -113,6 +235,8 @@ def main():
 
     if args.mode == "fp12":
         return bench_fp12_mul(args)
+    if args.mode == "fused" and args.chunks > 1:
+        return bench_fused_chunked(args)
 
     import jax.numpy as jnp
     import numpy as np
@@ -218,7 +342,11 @@ def main():
         _hash_jit = jax.jit(
             partial(TB.hash_to_g1_batch, k_candidates=K_CANDIDATES)
         )
-        w = CV.scalars_to_device(BV.random_weights(B))
+        w = BV.random_weights(B)  # GlvWeights (config.glv_weights default)
+        from bn254_tpu import config as _C
+
+        if not _C.DEFAULT.glv_weights:
+            w = CV.scalars_to_device(BV.random_weights_plain(B))
 
         if args.mode == "sharded":
             from jax.sharding import Mesh

@@ -74,7 +74,8 @@ def batch_verify(
     mode="fused": ONE combined check with random linear-combination
     weights and a single shared final exponentiation (returns scalar
     bool: all-valid). Sound: a forged tuple passes only with probability
-    ~2^-rlc_bits over the weight draw.
+    ~2^-rlc_bits over the weight draw (weights are drawn in GLV form —
+    same soundness, half the ladder steps; see curve/glv.py).
     config: a config.Config (hash-search width, RLC bits, staging);
     defaults to config.DEFAULT.
     """
@@ -90,9 +91,12 @@ def batch_verify(
         fn = _verify_indep_jit if cfg.staged else BV.verify_batch_independent
         return np.asarray(fn(hx, hy, sx, sy, pqx, pqy))
     elif mode == "fused":
-        w = CV.scalars_to_device(BV.random_weights(n, cfg.rlc_bits))
+        if cfg.glv_weights:
+            w = BV.random_weights(n, cfg.rlc_bits)
+        else:
+            w = BV.random_weights_plain(n, cfg.rlc_bits)
         fn = _verify_fused_jit if cfg.staged else BV.verify_batch_fused
-        return bool(fn(hx, hy, sx, sy, pqx, pqy, w))
+        return bool(fn(hx, hy, sx, sy, pqx, pqy, w, nbits=cfg.rlc_bits))
     raise ValueError(f"unknown mode {mode!r}")
 
 

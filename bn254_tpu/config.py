@@ -28,6 +28,11 @@ class Config:
     # verification; forgery slips through with probability ~2^-bits.
     rlc_bits: int = 128
 
+    # draw RLC weights in GLV form w = a + λb (curve/glv.py): same
+    # ~2^-rlc_bits soundness, HALF the weight-ladder steps (a joint
+    # Shamir ladder over {P, φP, P+φP}). Mirrors BN254_DISABLE_GLV.
+    glv_weights: bool = True
+
     # Pallas CIOS kernel: None = auto (TPU backend + enough lanes),
     # True/False = force. Mirrors the BN254_DISABLE_PALLAS env var.
     use_pallas: bool | None = None
@@ -57,7 +62,10 @@ class Config:
     # pair, no device G2 arithmetic for the constant pair. Requires
     # unroll_static_loops + the fused TPU path. Mirrors BN254_PAIR2 /
     # BN254_DISABLE_PAIR2.
-    pair2_miller: bool = False
+    # Default ON since round 4: measured 36,761 verifies/s/chip vs
+    # 30,645 stacked-pair (B=4096, BENCH_SUITE indep_pair2_B4096; the
+    # bench's ok.all() assert is the device correctness gate).
+    pair2_miller: bool = True
 
     # scoped-VMEM budget (MiB) for the fused tower-op kernels; None =
     # derive from the device generation (128 MiB VMEM parts get 100,
@@ -98,6 +106,8 @@ class Config:
             env["vmem_limit_mb"] = int(os.environ["BN254_VMEM_LIMIT_MB"])
         if os.environ.get("BN254_RLC_BITS"):
             env["rlc_bits"] = int(os.environ["BN254_RLC_BITS"])
+        if os.environ.get("BN254_DISABLE_GLV"):
+            env["glv_weights"] = False
         if os.environ.get("BN254_COORDINATOR"):
             env["coordinator_address"] = os.environ["BN254_COORDINATOR"]
             env["num_processes"] = int(os.environ.get("BN254_NUM_PROCESSES", "1"))

@@ -50,8 +50,8 @@ def neg(p):
     return J.neg(OPS, p)
 
 
-def scalar_mul(p, scalar_limbs):
-    return J.scalar_mul(OPS, p, scalar_limbs)
+def scalar_mul(p, scalar_limbs, nbits: int = 256):
+    return J.scalar_mul(OPS, p, scalar_limbs, nbits)
 
 
 def to_affine(p):

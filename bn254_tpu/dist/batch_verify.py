@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
 from ..constants import NLIMBS
 from ..curve import g1 as DG1
+from ..curve import glv as GLV
 from ..errors import InvalidLengthError
 from ..curve import jacobian as J
 from ..fields import limbs as L
@@ -107,10 +108,24 @@ def verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy) -> jnp.ndarray:
 
 
 def random_weights(n: int, bits: int | None = None):
-    """Host-side random combination weights (first fixed to 1).
+    """Host-side random combination weights in GLV form (first fixed
+    to 1): each w_i = a_i + λ b_i mod r with a_i, b_i uniform
+    (bits//2)-bit — uniform over a 2^bits-size set (curve/glv.py), so a
+    forgery passes the fused check with probability ~2^-bits while the
+    weight ladder runs only bits//2 Shamir steps.
 
-    Width defaults to config.DEFAULT.rlc_bits (forgery passes the fused
-    check with probability ~2^-bits over the weight draw)."""
+    Width defaults to config.DEFAULT.rlc_bits. Returns a GlvWeights;
+    plain int weight lists (random_weights_plain) are still accepted by
+    every verify entrypoint and validated against the ladder length."""
+    if bits is None:
+        from .. import config as C
+
+        bits = C.DEFAULT.rlc_bits
+    return GLV.random_glv_weights(n, bits)
+
+
+def random_weights_plain(n: int, bits: int | None = None):
+    """Plain int weights < 2^bits (the non-GLV path; first fixed to 1)."""
     if bits is None:
         from .. import config as C
 
@@ -118,22 +133,8 @@ def random_weights(n: int, bits: int | None = None):
     return [1] + [secrets.randbits(bits) | 1 for _ in range(n - 1)]
 
 
-def _ladder_bits() -> int:
-    """Ladder length for the RLC weight scalar-muls.
-
-    Weights from `random_weights` are < 2^rlc_bits, so the fixed ladder
-    only needs rlc_bits steps (128 by default — half the generic 256-step
-    ladder, and the weighting stage dominates the fused tier's cost).
-    Callers passing their own weight tensors must keep them < 2^rlc_bits.
-    """
-    from .. import config as C
-
-    return min(int(C.DEFAULT.rlc_bits), 256)
-
-
-def _check_weights(weights):
+def _check_weights(weights, bits: int):
     """Host-side guard: every RLC weight must fit the ladder length."""
-    bits = _ladder_bits()
     for w in weights:
         if int(w) >> bits:
             raise ValueError(
@@ -143,20 +144,63 @@ def _check_weights(weights):
     return weights
 
 
-def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
+def _resolve_weights(weights, nbits: int | None):
+    """Normalise a weights argument to (device weights, ladder bits).
+
+    weights: GlvWeights (preferred), a host list of ints (validated
+    here against the ladder length), or an El limb tensor — a
+    pre-converted tensor cannot be checked without a device round trip,
+    so the < 2^nbits bound is the CALLER's contract there and ladder
+    truncation is the failure mode (ADVICE r3: documented, uniform).
+    nbits: ladder length for non-GLV weights; defaults to
+    config.DEFAULT.rlc_bits. GlvWeights carry their own width.
+    """
+    if isinstance(weights, GLV.GlvWeights):
+        return weights, weights.half_bits
+    if nbits is None:
+        from .. import config as C
+
+        nbits = min(int(C.DEFAULT.rlc_bits), 256)
+    if not isinstance(weights, L.El):
+        weights = CV.scalars_to_device(_check_weights(weights, nbits))
+    return weights, nbits
+
+
+def _apply_weights(hx, hy, sx, sy, w, nbits: int):
+    """([w_i]H_i, [w_i]sig_i) for both weight forms.
+
+    GLV weights run ONE Shamir ladder over the (H, sig) pair axis
+    (bits//2 steps, curve/glv.py); plain weights run the generic
+    nbits-step ladder.
+    """
+    p = J.JPoint(
+        L.stack([hx, sx]),
+        L.stack([hy, sy]),
+        L.mont_one((2,) + tuple(hx.batch_shape)),
+    )
+    if isinstance(w, GLV.GlvWeights):
+        wp = GLV.shamir_scalar_mul(p, w)
+    else:
+        wp = DG1.scalar_mul(p, w, nbits)
+    xs = L.unstack(wp.x, 2)
+    ys = L.unstack(wp.y, 2)
+    zs = L.unstack(wp.z, 2)
+    wh = J.JPoint(xs[0], ys[0], zs[0])
+    ws = J.JPoint(xs[1], ys[1], zs[1])
+    return wh, ws
+
+
+def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights,
+                       nbits: int | None = None) -> jnp.ndarray:
     """Fused check: prod_i e([w_i]H_i, pk_i) * e(S, -G2) == 1 where
     S = sum_i [w_i]sig_i. Returns a scalar bool.
 
-    weights: (18, B) canonical limb tensor of the combination scalars,
-    each < 2^config.rlc_bits (see `_ladder_bits`).
+    weights: GlvWeights / list of ints / (18, B) El limb tensor (see
+    `_resolve_weights` for the validation contract).
     One shared final exponentiation for the whole batch.
     """
-    # [w_i]H_i and [w_i]sig_i (batched fixed ladders)
-    h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
-    s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
-    nb = _ladder_bits()
-    wh = DG1.scalar_mul(h_j, weights, nb)
-    ws = DG1.scalar_mul(s_j, weights, nb)
+    w, nb = _resolve_weights(weights, nbits)
+    wh, ws = _apply_weights(hx, hy, sx, sy, w, nb)
 
     # S = sum_i [w_i]sig_i via tree reduction on the batch axis
     s_sum = _g1_tree_sum(ws)
@@ -176,10 +220,7 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights) -> jnp.ndarray:
 
 
 def _weight_and_sum(hx, hy, sx, sy, w, nbits=256):
-    h_j = J.JPoint(hx, hy, L.mont_one(hx.batch_shape))
-    s_j = J.JPoint(sx, sy, L.mont_one(sx.batch_shape))
-    wh = DG1.scalar_mul(h_j, w, nbits)
-    ws = DG1.scalar_mul(s_j, w, nbits)
+    wh, ws = _apply_weights(hx, hy, sx, sy, w, nbits)
     s_sum = _g1_tree_sum(ws)
     whx, why, _ = DG1.to_affine(wh)
     ssx, ssy, _ = DG1.to_affine(s_sum)
@@ -196,18 +237,100 @@ _fused_combine_jit = jax.jit(
 )
 
 
-def verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights):
+def verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights,
+                              nbits: int | None = None):
     """Staged-pipeline variant of `verify_batch_fused`."""
     from ..pairing.pairing import _is_one_jit, _miller_jit
 
-    whx, why, ssx, ssy = _weight_jit(
-        hx, hy, sx, sy, weights, nbits=_ladder_bits()
-    )
+    w, nb = _resolve_weights(weights, nbits)
+    whx, why, ssx, ssy = _weight_jit(hx, hy, sx, sy, w, nbits=nb)
     f = _miller_jit(whx, why, pqx, pqy)
     ngx, ngy = _neg_g2_one(())
     f_sig = _miller_jit(ssx, ssy, ngx, ngy)
     total = _fused_combine_jit(f, f_sig)
     return _is_one_jit(FE.final_exp_staged(total))
+
+
+def _slice_batch(x, sl: slice):
+    """Slice the trailing batch dim of an El / Fq2 / GlvWeights tree."""
+    if isinstance(x, GLV.GlvWeights):
+        return GLV.GlvWeights(
+            _slice_batch(x.a, sl), _slice_batch(x.b, sl), x.bits
+        )
+    return jax.tree_util.tree_map(lambda a: a[..., sl], x)
+
+
+def verify_batch_fused_chunked(hx, hy, sx, sy, pqx, pqy, weights,
+                               chunk: int, nbits: int | None = None):
+    """`verify_batch_fused` for batches too large for one program
+    (BASELINE config 5 at batch-1M on a single chip).
+
+    The fused check's two reductions are MONOIDS — the Fq12 product and
+    the weighted-signature G1 sum — so the batch streams through in
+    `chunk`-sized pieces: every chunk runs the same compiled local stage
+    (weight ladders + Miller loops + chunk-local reductions, exactly the
+    per-shard program of the mesh-sharded tier), and two O(1)-state
+    accumulators combine chunks. ONE shared final exponentiation at the
+    end, identical accept/reject semantics to the unchunked check.
+
+    Peak memory is O(chunk), so batch size is bounded by input HBM
+    (~1 GB per million tuples), not by pipeline intermediates.
+    """
+    import functools
+
+    w, nb = _resolve_weights(weights, nbits)
+    B = hx.batch_shape[-1]
+    if B % chunk != 0:
+        raise InvalidLengthError(
+            f"batch {B} must be a multiple of chunk {chunk}"
+        )
+
+    stage = functools.partial(_local_stage_jit, nbits=nb)
+    f_acc = None
+    s_acc = None
+    for off in range(0, B, chunk):
+        sl = slice(off, off + chunk)
+        f_c, s_c = stage(
+            _slice_batch(hx, sl),
+            _slice_batch(hy, sl),
+            _slice_batch(sx, sl),
+            _slice_batch(sy, sl),
+            _slice_batch(pqx, sl),
+            _slice_batch(pqy, sl),
+            _slice_batch(w, sl),
+        )
+        if f_acc is None:
+            # pin the carrier bounds so every later combine presents the
+            # same pytree signature (one compiled combine program)
+            f_acc, s_acc = f_c, GLV._pin_point(s_c)
+        else:
+            f_acc, s_acc = _chunk_combine_jit(f_acc, s_acc, f_c, s_c)
+
+    return _chunk_finalize(f_acc, s_acc)
+
+
+def _chunk_finalize(f_acc, s_acc):
+    from ..pairing.pairing import _is_one_jit, _miller_jit
+
+    ssx, ssy, _ = _to_affine_jit(s_acc)
+    ngx, ngy = _neg_g2_one(())
+    f_sig = _miller_jit(ssx, ssy, ngx, ngy)
+    total = _fused_combine_scalar_jit(f_acc, f_sig)
+    return _is_one_jit(FE.final_exp_staged(total))
+
+
+_local_stage_jit = jax.jit(
+    lambda *args, nbits: _local_stage(*args, nbits), static_argnames=("nbits",)
+)
+
+_chunk_combine_jit = jax.jit(
+    lambda f_acc, s_acc, f_c, s_c: (
+        T.fq12_retag(T.fq12_mul(f_acc, f_c)),
+        GLV._pin_point(DG1.add(s_acc, s_c)),
+    )
+)
+
+_to_affine_jit = jax.jit(DG1.to_affine)
 
 
 def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
@@ -242,7 +365,10 @@ def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
 
 
 def make_sharded_verifier(
-    mesh: Mesh, axis_name: str = "batch", monolithic: bool = False
+    mesh: Mesh,
+    axis_name: str = "batch",
+    monolithic: bool = False,
+    nbits: int | None = None,
 ):
     """Build an SPMD fused verifier over `mesh`'s `axis_name` axis.
 
@@ -264,8 +390,14 @@ def make_sharded_verifier(
 
     Returns run(hx..sy, pqx, pqy, weights) -> scalar bool: call with
     full-batch device tensors whose trailing batch dim divides the axis
-    size. Weights may be an El limb tensor or list of ints.
+    size. Weights may be a GlvWeights (its own width), an El limb
+    tensor, or a list of ints (validated against `nbits`, which defaults
+    to config.rlc_bits at build time).
     """
+    if nbits is None:
+        from .. import config as C
+
+        nbits = min(int(C.DEFAULT.rlc_bits), 256)
     n_dev = mesh.shape[axis_name]
     batch_spec = PSpec(None, axis_name)  # (18, B): shard the batch dim
     rep = PSpec()
@@ -273,7 +405,9 @@ def make_sharded_verifier(
     if monolithic:
 
         def shard_fn(hx, hy, sx, sy, pqx, pqy, w):
-            f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w)
+            f_local, s_local = _local_stage(
+                hx, hy, sx, sy, pqx, pqy, w, nbits
+            )
             f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
             s_all = COLL.jacobian_allreduce_add(
                 s_local, DG1.add, axis_name, n_dev
@@ -294,11 +428,7 @@ def make_sharded_verifier(
         )
 
         def run_mono(hx, hy, sx, sy, pqx, pqy, weights):
-            w = (
-                weights
-                if isinstance(weights, L.El)
-                else CV.scalars_to_device(_check_weights(weights))
-            )
+            w, _ = _resolve_weights(weights, nbits)
             if hx.batch_shape[-1] % n_dev != 0:
                 raise InvalidLengthError(
                     f"batch {hx.batch_shape[-1]} must divide the mesh "
@@ -314,7 +444,7 @@ def make_sharded_verifier(
     # ---- staged pipeline ----
 
     def local_fn(hx, hy, sx, sy, pqx, pqy, w):
-        f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w)
+        f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w, nbits)
         # re-expose per-shard scalars as a size-1 batch dim so the stage
         # boundary is an ordinary sharded global array of size n_dev
         expand = lambda x: x[..., None]
@@ -355,7 +485,8 @@ def make_sharded_verifier(
 
     def run(hx, hy, sx, sy, pqx, pqy, weights):
         """hx..sy: limbs.El (18, B); pqx/pqy: tower.Fq2 of El; weights:
-        El limb tensor or a list of ints. Returns a scalar bool."""
+        GlvWeights, El limb tensor, or a list of ints. Returns a scalar
+        bool."""
         from ..pairing.pairing import _is_one_jit, _miller_jit
 
         B = hx.batch_shape[-1]
@@ -363,11 +494,7 @@ def make_sharded_verifier(
             raise InvalidLengthError(
                 f"batch {B} must divide the mesh axis size {n_dev}"
             )
-        w = (
-            weights
-            if isinstance(weights, L.El)
-            else CV.scalars_to_device(_check_weights(weights))
-        )
+        w, _ = _resolve_weights(weights, nbits)
         # place inputs as GLOBAL batch-sharded arrays: required for
         # multi-process (every process passes the same full-batch host
         # values), a cheap no-op resharding hint in single-process runs
@@ -389,14 +516,9 @@ _fused_combine_scalar_jit = jax.jit(
 )
 
 
-def _local_stage(hx, hy, sx, sy, pqx, pqy, w):
+def _local_stage(hx, hy, sx, sy, pqx, pqy, w, nbits: int):
     """Per-shard work: weight ladders, Miller loops, local reductions."""
-    bs = hx.batch_shape
-    h_j = J.JPoint(hx, hy, L.mont_one(bs))
-    s_j = J.JPoint(sx, sy, L.mont_one(bs))
-    nb = _ladder_bits()
-    wh = DG1.scalar_mul(h_j, w, nb)
-    ws = DG1.scalar_mul(s_j, w, nb)
+    wh, ws = _apply_weights(hx, hy, sx, sy, w, nbits)
     whx, why, _ = DG1.to_affine(wh)
     f = M.miller_loop(whx, why, pqx, pqy)
     f_local = T.fq12_retag(DP.fq12_reduce_mul(f, axis=0))

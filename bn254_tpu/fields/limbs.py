@@ -693,6 +693,17 @@ def from_mont(a: El) -> El:
 
 
 def mont_one(batch_shape=()) -> El:
+    if _KERNEL_MODE:
+        # Pallas kernel bodies may not capture ARRAY constants; build the
+        # constant from per-limb scalar immediates instead.
+        arr = jnp.stack(
+            [
+                jnp.full(tuple(batch_shape), np.uint32(limb), U32)
+                for limb in to_limbs(MONT_R_MOD_P, NLIMBS)
+            ],
+            axis=0,
+        )
+        return El(arr, MONT_R_MOD_P + 1, 1 << LIMB_BITS)
     arr = jnp.broadcast_to(
         _bc(R_MOD_P_EL.arr, 1 + len(batch_shape)),
         (NLIMBS,) + tuple(batch_shape),

@@ -77,7 +77,10 @@ def _fold_matrices(ndigits: int):
             for i, limb in enumerate(_limbs_of(v)):
                 glo[i, a * NCOLS + k] = limb & 0xFF
                 ghi[i, a * NCOLS + k] = limb >> 8
-    return jnp.asarray(glo, BF16), jnp.asarray(ghi, BF16)
+    # NumPy (ml_dtypes bf16) constants, NOT jnp arrays: a jnp array built
+    # inside a jit trace is a tracer, and lru_cache would leak it into
+    # later traces (the BENCH_SUITE indep_fold failure).
+    return glo.astype(BF16), ghi.astype(BF16)
 
 
 def _product_columns(a_l, b_l, lmax_a: int, lmax_b: int):

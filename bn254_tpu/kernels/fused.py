@@ -174,7 +174,14 @@ def fused_op(fn, fn_key: str, *args, interpret: bool = False):
 
     arrs = []
     for e in in_els:
-        a = jnp.broadcast_to(e.arr, (NLIMBS,) + batch).reshape(NLIMBS, n)
+        # append singleton batch dims (the limbs._bc convention) so an
+        # unbatched (18,) constant broadcasts against (18, *batch);
+        # jnp.broadcast_to's trailing-dim alignment alone would pair the
+        # limb axis with a batch axis and fail
+        a = e.arr.reshape(
+            e.arr.shape + (1,) * (1 + len(batch) - e.arr.ndim)
+        )
+        a = jnp.broadcast_to(a, (NLIMBS,) + batch).reshape(NLIMBS, n)
         if n_padded != n:
             a = jnp.pad(a, [(0, 0), (0, n_padded - n)])
         arrs.append(a)

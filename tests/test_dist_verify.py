@@ -83,6 +83,49 @@ def test_sharded_monolithic_accept_and_tamper(mesh, batch):
     assert not bool(jax.device_get(run(hx, hy, sxb, syb, pqx, pqy, w)))
 
 
+def test_chunked_fused_matches_unchunked(batch):
+    """Config-5 streaming path: verify_batch_fused_chunked (monoid
+    accumulation over chunks) agrees with the one-shot fused check on
+    accept AND on tamper-reject, using GLV weights end-to-end."""
+    from bn254_tpu.curve import glv as GLV
+
+    msgs, sks, hpts, sigs, pks, dev = batch
+    hx, hy, sx, sy, pqx, pqy, _ = dev
+    w = GLV.random_glv_weights(B, bits=32)  # 16-step ladder: CI-cheap
+
+    ok_chunked = bool(
+        jax.device_get(
+            BV.verify_batch_fused_chunked(
+                hx, hy, sx, sy, pqx, pqy, w, chunk=B // 2
+            )
+        )
+    )
+    ok_full = bool(
+        jax.device_get(
+            BV.verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, w)
+        )
+    )
+    assert ok_chunked and ok_full
+
+    # tamper a signature in the SECOND chunk
+    sigs_bad = list(sigs)
+    sigs_bad[B - 3] = HC.g1_mul(hpts[B - 3], sks[0].scalar)
+    sxb, syb = CV.g1_batch_to_device_affine(sigs_bad)
+    bad_chunked = bool(
+        jax.device_get(
+            BV.verify_batch_fused_chunked(
+                hx, hy, sxb, syb, pqx, pqy, w, chunk=B // 2
+            )
+        )
+    )
+    assert not bad_chunked
+
+    with pytest.raises(InvalidLengthError):
+        BV.verify_batch_fused_chunked(
+            hx, hy, sx, sy, pqx, pqy, w, chunk=5
+        )
+
+
 def test_sharded_rejects_non_divisible_batch(mesh, batch):
     msgs, sks, hpts, sigs, pks, dev = batch
     hx, hy, sx, sy, pqx, pqy, w = dev

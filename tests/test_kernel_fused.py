@@ -132,6 +132,72 @@ def test_fused_op_machinery_interpret_bit_exact():
     assert np.array_equal(got, want)
 
 
+def test_fused_op_unbatched_const_operand():
+    """fused_op with an UNBATCHED (18,) constant operand (the pair2
+    precomputed-line case): batch-dim padding must append singleton dims
+    per the limbs._bc convention — trailing-aligned jnp.broadcast_to
+    alone pairs the limb axis with a batch axis and fails (the round-3
+    indep_pair2 bench failure). Interpret-mode bit-exactness included."""
+    a = rnd2((64,))
+    c = T.const_fq2((5, 7))  # (18,) numpy-backed constant components
+    kernel_out = FK.fused_op(T.fq2_mul, "fq2_mul_const_test", a, c,
+                             interpret=True)
+    with FK._KernelMode():
+        ref_out = T.fq2_mul(a, T.Fq2(L.bcast_to(c.c0, (64,)),
+                                     L.bcast_to(c.c1, (64,))))
+    got = np.stack([np.asarray(L.canon(e).arr) for e in kernel_out])
+    want = np.stack([np.asarray(L.canon(e).arr) for e in ref_out])
+    assert np.array_equal(got, want)
+
+
+def test_kernel_bodies_trace_without_captured_arrays():
+    """Every fused kernel body TRACES through a real (non-interpret)
+    pallas_call via eval_shape — Pallas rejects captured array constants
+    at trace time, so this catches in-kernel jnp constants (e.g. the
+    J.identity inside the GLV ladder body building mont_one from a
+    NumPy array: the round-4 fused-chunked failure) without compiling."""
+    from bn254_tpu.curve import glv as GLV
+    from bn254_tpu.curve import jacobian as JJ
+
+    def mk(shape=(2048,)):
+        import jax.numpy as jnp
+
+        return L.El(jnp.ones((18,) + shape, jnp.uint32), L.STD_BOUND,
+                    1 << 16)
+
+    e = mk()
+    acc = JJ.JPoint(e, e, e)
+
+    def glv_case():
+        return FK.fused_op(
+            GLV._dbl_add_body_impl, "glv_dbl_add_trace",
+            acc.x, acc.y, acc.z, e, e, e,
+        )
+
+    f2 = T.Fq2(e, e)
+    f12 = T.Fq12(*[T.Fq6(f2, f2, f2) for _ in range(2)])
+    t = M.ProjG2(f2, f2, f2)
+
+    cases = {
+        "glv": glv_case,
+        "fq12_mul": lambda: FK.fused_op(
+            T._fq12_mul_impl, "fq12_mul_trace", f12, f12
+        ),
+        "dbl_body": lambda: FK.fused_op(
+            M._dbl_body_impl, "dbl_body_trace", f12, t, e, e
+        ),
+        "dbl_body2": lambda: FK.fused_op(
+            M._dbl_body2_impl, "dbl_body2_trace",
+            f12, t, e, e, f2, f2, f2, e, e,
+        ),
+        "expu_step": lambda: FK.fused_op(
+            FE._expu_step_impl, "expu_step_trace", f12, f12
+        ),
+    }
+    for name, fn in cases.items():
+        jax.eval_shape(fn)  # raises on captured array constants
+
+
 @SLOW
 @pytest.mark.parametrize("name,impl,pick,canon", CASES)
 def test_fused_kernel_interpret_bit_exact(operands, name, impl, pick, canon):

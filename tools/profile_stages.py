@@ -77,13 +77,38 @@ t(f"is_one[{B}]", _is_one_jit, out)
 mul2 = jax.jit(lambda a, b: T.fq12_retag(T.fq12_mul(a, b)))
 t(f"fq12_mul[{B}]", mul2, g, g)
 
+# --- round-4 alternative stages (excluded from the config-3 total) ---
+
+# pair2: shared-squaring constant-Q 2-pair Miller (replaces miller+combine)
+from bn254_tpu.pairing.pairing import _miller2_jit
+
+t(f"alt:pair2_miller[{B}]",
+  lambda a, b, c, d, e2, f2: _miller2_jit(a, b, c, d, e2, f2),
+  hx, hy, pqx, pqy, sx, sy)
+
+# fused-tier weighting stage: GLV (64-step Shamir) vs plain 128-step ladder
+from bn254_tpu.curve import glv as GLV
+import functools
+
+w_glv = GLV.random_glv_weights(B, bits=128)
+wjit = jax.jit(BV._weight_and_sum, static_argnames=("nbits",))
+t(f"alt:glv_weight[{B}]",
+  functools.partial(wjit, nbits=64), hx, hy, sx, sy, w_glv)
+w_plain = CV.scalars_to_device(BV.random_weights_plain(B, 128))
+t(f"alt:plain_weight[{B}]",
+  functools.partial(wjit, nbits=128), hx, hy, sx, sy, w_plain)
+
 total = sum(
     v for k, v in stages.items()
-    if not k.startswith("fq12_mul")
+    if not (k.startswith("fq12_mul") or k.startswith("alt:"))
 )
 print(f"\n--- config-3 step breakdown (B={B}) ---")
 for k, v in stages.items():
-    if k.startswith("fq12_mul"):
+    if k.startswith("fq12_mul") or k.startswith("alt:"):
         continue
     print(f"{k:32s} {v*1e3:9.2f} ms  {v/total*100:5.1f}%")
 print(f"{'TOTAL':32s} {total*1e3:9.2f} ms  -> {B/total:.1f} verifies/s")
+print("\n--- alternative-stage timings (not part of the config-3 sum) ---")
+for k, v in stages.items():
+    if k.startswith("alt:"):
+        print(f"{k:32s} {v*1e3:9.2f} ms")

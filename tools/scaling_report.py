@@ -93,9 +93,14 @@ def measure_local_stage(b: int) -> float:
     hx, hy = CV.g1_batch_to_device_affine(hpts)
     sx, sy = CV.g1_batch_to_device_affine(sigs)
     pqx, pqy = CV.g2_batch_to_device_affine(pks)
-    w = CV.scalars_to_device(BV.random_weights(b))
+    w = BV.random_weights(b)  # GlvWeights
 
-    fn = jax.jit(BV._local_stage)
+    import functools
+
+    fn = functools.partial(
+        jax.jit(BV._local_stage, static_argnames=("nbits",)),
+        nbits=w.half_bits,
+    )
     t0 = time.time()
     out = fn(hx, hy, sx, sy, pqx, pqy, w)
     jax.block_until_ready(jax.tree_util.tree_leaves(out))
