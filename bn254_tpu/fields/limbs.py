@@ -750,13 +750,21 @@ def elmap(fn, a: El, vmax: int | None = None, lmax: int | None = None) -> El:
 def pow_fixed(a: El, exponent: int) -> El:
     """a^exponent (Montgomery domain), compile-time exponent.
 
-    Square-and-multiply as a `lax.scan` over the exponent's bits; carrier
-    bound pinned to STD_BOUND for scan stability.
+    TPU fused path: the square-and-multiply chain unrolls into a few
+    BIG straight-line Pallas kernels (`_pow_fixed_fused`) — zero-bit
+    steps skip their multiply entirely and there is no per-step launch
+    or scan overhead. Elsewhere: a `lax.scan` over the exponent's bits
+    with a masked multiply (508 leaf muls for a 254-bit exponent vs the
+    fused path's ~380).
     """
     if exponent == 0:
         return mont_one(a.batch_shape)
     base = retag(norm_limbs(a), STD_BOUND)
     bits = [int(c) for c in bin(exponent)[2:]]
+
+    if not _KERNEL_MODE and _pow_use_fused(base):
+        return _pow_fixed_fused(base, tuple(bits[1:]))
+
     bits_arr = jnp.array(bits[1:], dtype=jnp.uint32)
 
     def step(res, bit):
@@ -766,6 +774,83 @@ def pow_fixed(a: El, exponent: int) -> El:
 
     result, _ = jax.lax.scan(step, base, bits_arr)
     return result
+
+
+def _pow_use_fused(a: El) -> bool:
+    from .. import config as C
+
+    if not (C.DEFAULT.fuse_tower_ops and C.DEFAULT.unroll_static_loops):
+        return False
+    from ..kernels.fused import fused_supported
+    from ..kernels.montmul import use_pallas
+
+    return fused_supported() and use_pallas(a.arr.shape[1:])
+
+
+# window width for the fused pow chain: 3 bits per launch keeps the two
+# SHARED step-kernel bodies tiny (3-4 inline CIOS muls each — traced and
+# compiled once, reused by every exponent) while cutting launches ~3x
+# and skipping the scan form's masked multiply on zero windows.
+_POW_WINDOW = 3
+
+
+def _pin_std(e: El) -> El:
+    return retag(norm_limbs(e), STD_BOUND, 1 << 16)
+
+
+def _pow_step_mul(acc: El, m: El) -> El:
+    """acc^(2^w) * m — one nonzero-window step (straight-line kernel)."""
+    for _ in range(_POW_WINDOW):
+        acc = mont_sqr(acc)
+    return _pin_std(mont_mul(acc, m))
+
+
+def _pow_step_sq(acc: El) -> El:
+    """acc^(2^w) — a zero-window step (straight-line kernel)."""
+    for _ in range(_POW_WINDOW):
+        acc = mont_sqr(acc)
+    return _pin_std(acc)
+
+
+def _pow_fixed_fused(base: El, bits: tuple) -> El:
+    """Windowed square-and-multiply over fused Pallas step kernels.
+
+    The static exponent means the {base^1..base^(2^w-1)} table entry for
+    each window is selected in PYTHON — nonzero windows fold their table
+    multiply into the same launch as the squarings, zero windows run a
+    pure squaring kernel, and both bodies are shared across all
+    exponents and call sites (p-2 inversion, (p+1)/4 sqrt).
+    """
+    from ..kernels import fused as FK
+
+    bits = (1,) + tuple(bits)  # restore the consumed MSB
+    w = _POW_WINDOW
+    # MSB-first windows; the first (possibly short) window seeds acc.
+    lead = len(bits) % w or w
+    head = int("".join(map(str, bits[:lead])), 2)
+    rest = [
+        int("".join(map(str, bits[i : i + w])), 2)
+        for i in range(lead, len(bits), w)
+    ]
+
+    # table base^k, k = 1..2^w-1 (eager-ish ops inside the outer trace;
+    # a handful of leaf muls, amortised over the whole chain)
+    table = {1: _pin_std(base)}
+    for k in range(2, 1 << w):
+        prev = table.get(k - 1)
+        if k % 2 == 0:
+            table[k] = _pin_std(mont_sqr(table[k // 2]))
+        else:
+            table[k] = _pin_std(mont_mul(prev, table[1]))
+
+    acc = table[head] if head else mont_one(base.batch_shape)
+    for win in rest:
+        if win:
+            acc = FK.fused_op(_pow_step_mul, "el_pow_step_mul", acc,
+                              table[win])
+        else:
+            acc = FK.fused_op(_pow_step_sq, "el_pow_step_sq", acc)
+    return acc
 
 
 def inv_mod(a: El) -> El:

@@ -22,8 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: the pairing graphs take minutes to compile
-# cold; cached recompiles are near-instant across test sessions.
+# jcache.enable() DISABLES the persistent compilation cache on the CPU
+# backend (deserializing persisted XLA:CPU executables segfaulted test
+# sessions — see utils/jcache.py); tests rely on jax's in-memory cache.
 import jax
 
 jax.config.update("jax_platforms", "cpu")

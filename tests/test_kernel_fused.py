@@ -150,6 +150,35 @@ def test_fused_op_unbatched_const_operand():
     assert np.array_equal(got, want)
 
 
+def test_pow_fixed_fused_matches_scan(monkeypatch):
+    """The segmented straight-line pow kernels == the scan form for the
+    two production exponents (Fermat inverse p-2, sqrt (p+1)/4), with
+    fused_op routed to plain jits on CPU."""
+    from bn254_tpu.constants import P as P_CONST
+
+    routed = {}
+
+    def plain(fn, key, *args, interpret=False):
+        if key not in routed:
+            routed[key] = jax.jit(fn)
+        return routed[key](*args)
+
+    monkeypatch.setattr(FK, "fused_op", plain)
+    monkeypatch.setattr(L, "_pow_use_fused", lambda a: True)
+
+    a = rnd_el((6,))
+    base = L.retag(L.norm_limbs(a), L.STD_BOUND)
+    for exponent in (P_CONST - 2, (P_CONST + 1) // 4, 1, 5):
+        bits = tuple(int(c) for c in bin(exponent)[2:])[1:]
+        got = L._pow_fixed_fused(base, bits)
+        monkeypatch.setattr(L, "_pow_use_fused", lambda a: False)
+        want = L.pow_fixed(a, exponent)
+        monkeypatch.setattr(L, "_pow_use_fused", lambda a: True)
+        assert np.array_equal(
+            np.asarray(L.canon(got).arr), np.asarray(L.canon(want).arr)
+        ), hex(exponent)
+
+
 def test_kernel_bodies_trace_without_captured_arrays():
     """Every fused kernel body TRACES through a real (non-interpret)
     pallas_call via eval_shape — Pallas rejects captured array constants
