@@ -172,24 +172,28 @@ def bench_fused_chunked(args):
         BV._slice_batch(w, slice(ci * CH, (ci + 1) * CH))
         for ci in range(nch)
     ]
-    stage = functools.partial(BV._local_stage_jit, nbits=w.half_bits)
+    from bn254_tpu.pairing import final_exp as FEX
+    from bn254_tpu.pairing.pairing import _is_one_jit
+
+    points = functools.partial(BV._fused_points_jit, nbits=w.half_bits)
 
     def fn():
-        f_acc = s_acc = None
+        f_acc = None
         founds = []
         for ci in range(nch):
             hx, hy, found, _ = _hash_jit(
                 blocks_dev[ci], ctr_word, ctr_shift
             )
-            f_c, s_c = stage(
+            pts = points(
                 hx, hy, sxs[ci], sys[ci], pqxs[ci], pqys[ci], ws[ci]
             )
+            f_c = BV._miller_reduce_jit(*pts)
             founds.append(found)
-            if f_acc is None:
-                f_acc, s_acc = f_c, GLV._pin_point(s_c)
-            else:
-                f_acc, s_acc = BV._chunk_combine_jit(f_acc, s_acc, f_c, s_c)
-        ok = BV._chunk_finalize(f_acc, s_acc)
+            f_acc = (
+                f_c if f_acc is None
+                else BV._chunk_combine_jit(f_acc, f_c)
+            )
+        ok = _is_one_jit(FEX.final_exp_staged_wide(f_acc))
         return ok, jnp.stack(founds)
 
     cold, (ok0, found0) = measure_compile_and_first(fn)
@@ -219,7 +223,8 @@ def main():
                     help="stream --mode fused through this many chunks "
                     "(config-5 1M path; device-generated fixture)")
     ap.add_argument("--mode", default="independent",
-                    choices=["independent", "fused", "sharded", "fp12"])
+                    choices=["independent", "adaptive", "fused", "sharded",
+                             "fp12"])
     ap.add_argument("--pipeline", default="staged",
                     choices=["staged", "mono"],
                     help="staged: several small jitted programs (compiles "
@@ -356,6 +361,13 @@ def main():
             log(f"sharded mode: mesh axis 'batch' over {devs.size} "
                 f"{devs.flat[0].platform} device(s)")
             fn0 = BV.make_sharded_verifier(mesh, "batch")
+        elif args.mode == "adaptive":
+            # per-tuple bools via the RLC pre-check fast path (all-valid
+            # batch -> ONE shared final exp; see verify_batch_adaptive)
+            def fn0(hx, hy, sx, sy, pqx, pqy, w):
+                return BV.verify_batch_adaptive(
+                    hx, hy, sx, sy, pqx, pqy, weights=w
+                )
         else:
             fn0 = BV.verify_batch_fused_staged
 
@@ -366,7 +378,7 @@ def main():
         cold, (ok0, found0) = measure_compile_and_first(fn)
         assert bool(np.asarray(found0).all()), \
             "device hash missed a message (raise K)"
-        assert bool(np.asarray(ok0)), "fused benchmark batch failed!"
+        assert bool(np.asarray(ok0).all()), "fused benchmark batch failed!"
         reps = 1 if args.smoke else 4
         dev_time = measure(fn, reps=reps)
 

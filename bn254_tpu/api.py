@@ -90,6 +90,15 @@ def batch_verify(
     if mode == "independent":
         fn = _verify_indep_jit if cfg.staged else BV.verify_batch_independent
         return np.asarray(fn(hx, hy, sx, sy, pqx, pqy))
+    elif mode == "adaptive":
+        # per-tuple bools; fused-tier cost when all tuples are valid
+        # (falls back to the exact independent tier on rejection — see
+        # BV.verify_batch_adaptive for the 2^-rlc_bits caveat)
+        return np.asarray(
+            BV.verify_batch_adaptive(
+                hx, hy, sx, sy, pqx, pqy, nbits=cfg.rlc_bits
+            )
+        )
     elif mode == "fused":
         if cfg.glv_weights:
             w = BV.random_weights(n, cfg.rlc_bits)

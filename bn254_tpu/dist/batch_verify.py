@@ -190,6 +190,72 @@ def _apply_weights(hx, hy, sx, sy, w, nbits: int):
     return wh, ws
 
 
+def _el_append(a: L.El, b: L.El) -> L.El:
+    """Concat a scalar-batch El onto the trailing batch axis of `a`."""
+    bb = b.arr.reshape(b.arr.shape + (1,) * (a.arr.ndim - b.arr.ndim))
+    bb = jnp.broadcast_to(bb, a.arr.shape[:-1] + (1,))
+    return L.El(
+        jnp.concatenate([a.arr, bb], axis=-1),
+        max(a.vmax, b.vmax),
+        max(a.lmax, b.lmax),
+    )
+
+
+def _fused_points(hx, hy, sx, sy, pqx, pqy, w, nbits: int):
+    """Stage A of the fused check: weight ladders, signature tree-sum,
+    and the (B+1)-row point batch — the B weighted hash points plus the
+    signature-sum row S = sum_i [w_i]sig_i appended with -G2::one as its
+    G2 partner. Everything affinizes in ONE batched pass.
+
+    The S pair rides INSIDE the batched Miller loop (bilinearity: after
+    the shared final exponentiation, e(sum_j S_j, -G2) ==
+    prod_j e(S_j, -G2), so per-shard/per-chunk S rows compose across
+    shards by Fq12 product alone — no G1 collective), and no batch-1
+    Miller program exists anywhere: measured 146.6 ms for a batch-1
+    Miller vs 64.8 ms for the full 8192-wide one (profile_fused.py).
+    """
+    wh, ws = _apply_weights(hx, hy, sx, sy, w, nbits)
+    s_sum = _g1_tree_sum(ws)
+
+    p_all = J.JPoint(
+        _el_append(wh.x, s_sum.x),
+        _el_append(wh.y, s_sum.y),
+        _el_append(wh.z, s_sum.z),
+    )
+    px, py, inf = DG1.to_affine(p_all)
+
+    ngx, ngy = _neg_g2_one((1,))
+    qx = T.Fq2(_el_append(pqx.c0, ngx.c0), _el_append(pqx.c1, ngx.c1))
+    qy = T.Fq2(_el_append(pqy.c0, ngy.c0), _el_append(pqy.c1, ngy.c1))
+    return px, py, qx, qy, inf
+
+
+def _miller_reduce(px, py, qx, qy, inf):
+    """Stage B: batched Miller loop + Fq12 product -> scalar Fq12.
+
+    The inf mask makes an identity row (e.g. S = O for a cancelling
+    batch) contribute 1, matching e(O, Q) == 1.
+    """
+    f = M.miller_loop(px, py, qx, qy, inf_mask=inf)
+    return T.fq12_retag(DP.fq12_reduce_mul(f, axis=0))
+
+
+def _fused_local_product(hx, hy, sx, sy, pqx, pqy, w, nbits: int):
+    """Stages A+B in one traced program (the shard_map / monolithic
+    form). Returns a SCALAR (batch-()) Fq12; combine across shards or
+    chunks by fq12_mul, then ONE final_exp + is_one."""
+    return _miller_reduce(
+        *_fused_points(hx, hy, sx, sy, pqx, pqy, w, nbits)
+    )
+
+
+_fused_points_jit = jax.jit(
+    lambda *args, nbits: _fused_points(*args, nbits),
+    static_argnames=("nbits",),
+)
+_miller_reduce_jit = jax.jit(_miller_reduce)
+
+
 def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights,
                        nbits: int | None = None) -> jnp.ndarray:
     """Fused check: prod_i e([w_i]H_i, pk_i) * e(S, -G2) == 1 where
@@ -200,26 +266,15 @@ def verify_batch_fused(hx, hy, sx, sy, pqx, pqy, weights,
     One shared final exponentiation for the whole batch.
     """
     w, nb = _resolve_weights(weights, nbits)
-    wh, ws = _apply_weights(hx, hy, sx, sy, w, nb)
-
-    # S = sum_i [w_i]sig_i via tree reduction on the batch axis
-    s_sum = _g1_tree_sum(ws)
-
-    # affine-ise the weighted hash points and the signature sum together
-    whx, why, _ = DG1.to_affine(wh)
-    ssx, ssy, _ = DG1.to_affine(s_sum)
-
-    f = M.miller_loop(whx, why, pqx, pqy)
-    f_red = DP.fq12_reduce_mul(f, axis=0)
-
-    ngx, ngy = _neg_g2_one(())
-    f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
-
-    total = T.fq12_mul(f_red, f_sig)
-    return T.fq12_is_one(FE.final_exp(total))
+    f_red = _fused_local_product(hx, hy, sx, sy, pqx, pqy, w, nb)
+    return T.fq12_is_one(FE.final_exp_wide(f_red))
 
 
 def _weight_and_sum(hx, hy, sx, sy, w, nbits=256):
+    """Weight ladders + signature tree-sum + affinization (kept as the
+    profiling/testing surface for the weighting stage; the production
+    pipeline runs `_fused_local_product`, which keeps the S row batched
+    through the Miller loop instead)."""
     wh, ws = _apply_weights(hx, hy, sx, sy, w, nbits)
     s_sum = _g1_tree_sum(ws)
     whx, why, _ = DG1.to_affine(wh)
@@ -230,25 +285,15 @@ def _weight_and_sum(hx, hy, sx, sy, w, nbits=256):
 _weight_jit = jax.jit(_weight_and_sum, static_argnames=("nbits",))
 
 
-_fused_combine_jit = jax.jit(
-    lambda f, f_sig: T.fq12_retag(
-        T.fq12_mul(DP.fq12_reduce_mul(f, axis=0), f_sig)
-    )
-)
-
-
 def verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights,
                               nbits: int | None = None):
     """Staged-pipeline variant of `verify_batch_fused`."""
-    from ..pairing.pairing import _is_one_jit, _miller_jit
+    from ..pairing.pairing import _is_one_jit
 
     w, nb = _resolve_weights(weights, nbits)
-    whx, why, ssx, ssy = _weight_jit(hx, hy, sx, sy, w, nbits=nb)
-    f = _miller_jit(whx, why, pqx, pqy)
-    ngx, ngy = _neg_g2_one(())
-    f_sig = _miller_jit(ssx, ssy, ngx, ngy)
-    total = _fused_combine_jit(f, f_sig)
-    return _is_one_jit(FE.final_exp_staged(total))
+    pts = _fused_points_jit(hx, hy, sx, sy, pqx, pqy, w, nbits=nb)
+    f_red = _miller_reduce_jit(*pts)
+    return _is_one_jit(FE.final_exp_staged_wide(f_red))
 
 
 def _slice_batch(x, sl: slice):
@@ -265,18 +310,18 @@ def verify_batch_fused_chunked(hx, hy, sx, sy, pqx, pqy, weights,
     """`verify_batch_fused` for batches too large for one program
     (BASELINE config 5 at batch-1M on a single chip).
 
-    The fused check's two reductions are MONOIDS — the Fq12 product and
-    the weighted-signature G1 sum — so the batch streams through in
-    `chunk`-sized pieces: every chunk runs the same compiled local stage
-    (weight ladders + Miller loops + chunk-local reductions, exactly the
-    per-shard program of the mesh-sharded tier), and two O(1)-state
-    accumulators combine chunks. ONE shared final exponentiation at the
-    end, identical accept/reject semantics to the unchunked check.
+    The fused check's reduction is a MONOID (the Fq12 Miller-product;
+    each chunk's signature-sum pair rides inside its own Miller batch —
+    see `_fused_points`), so the batch streams through in `chunk`-sized
+    pieces: every chunk runs the same compiled stage programs and a
+    single O(1)-state Fq12 accumulator combines chunks. ONE shared
+    final exponentiation at the end, identical accept/reject semantics
+    to the unchunked check.
 
     Peak memory is O(chunk), so batch size is bounded by input HBM
     (~1 GB per million tuples), not by pipeline intermediates.
     """
-    import functools
+    from ..pairing.pairing import _is_one_jit
 
     w, nb = _resolve_weights(weights, nbits)
     B = hx.batch_shape[-1]
@@ -285,12 +330,10 @@ def verify_batch_fused_chunked(hx, hy, sx, sy, pqx, pqy, weights,
             f"batch {B} must be a multiple of chunk {chunk}"
         )
 
-    stage = functools.partial(_local_stage_jit, nbits=nb)
     f_acc = None
-    s_acc = None
     for off in range(0, B, chunk):
         sl = slice(off, off + chunk)
-        f_c, s_c = stage(
+        pts = _fused_points_jit(
             _slice_batch(hx, sl),
             _slice_batch(hy, sl),
             _slice_batch(sx, sl),
@@ -298,39 +341,17 @@ def verify_batch_fused_chunked(hx, hy, sx, sy, pqx, pqy, weights,
             _slice_batch(pqx, sl),
             _slice_batch(pqy, sl),
             _slice_batch(w, sl),
+            nbits=nb,
         )
-        if f_acc is None:
-            # pin the carrier bounds so every later combine presents the
-            # same pytree signature (one compiled combine program)
-            f_acc, s_acc = f_c, GLV._pin_point(s_c)
-        else:
-            f_acc, s_acc = _chunk_combine_jit(f_acc, s_acc, f_c, s_c)
+        f_c = _miller_reduce_jit(*pts)
+        f_acc = f_c if f_acc is None else _chunk_combine_jit(f_acc, f_c)
 
-    return _chunk_finalize(f_acc, s_acc)
+    return _is_one_jit(FE.final_exp_staged_wide(f_acc))
 
-
-def _chunk_finalize(f_acc, s_acc):
-    from ..pairing.pairing import _is_one_jit, _miller_jit
-
-    ssx, ssy, _ = _to_affine_jit(s_acc)
-    ngx, ngy = _neg_g2_one(())
-    f_sig = _miller_jit(ssx, ssy, ngx, ngy)
-    total = _fused_combine_scalar_jit(f_acc, f_sig)
-    return _is_one_jit(FE.final_exp_staged(total))
-
-
-_local_stage_jit = jax.jit(
-    lambda *args, nbits: _local_stage(*args, nbits), static_argnames=("nbits",)
-)
 
 _chunk_combine_jit = jax.jit(
-    lambda f_acc, s_acc, f_c, s_c: (
-        T.fq12_retag(T.fq12_mul(f_acc, f_c)),
-        GLV._pin_point(DG1.add(s_acc, s_c)),
-    )
+    lambda f_acc, f_c: T.fq12_retag(T.fq12_mul(f_acc, f_c))
 )
-
-_to_affine_jit = jax.jit(DG1.to_affine)
 
 
 def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
@@ -341,6 +362,18 @@ def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
         idx = (slice(None),) * taxis + (sl,)
         return x[idx]
 
+    def cat_els(a, b):
+        """El-aware concat (merged bounds) — plain tree_map rejects
+        trees whose El aux tags differ (sum outputs vs leftover slices
+        at odd widths)."""
+        if isinstance(a, L.El):
+            return L.El(
+                jnp.concatenate([a.arr, b.arr], axis=taxis),
+                max(a.vmax, b.vmax),
+                max(a.lmax, b.lmax),
+            )
+        return type(a)(*[cat_els(x, y) for x, y in zip(a, b)])
+
     n = p.x.arr.shape[taxis]
     while n > 1:
         half = n // 2
@@ -349,14 +382,35 @@ def _g1_tree_sum(p: J.JPoint, axis: int = 0) -> J.JPoint:
         s = DG1.add(lo, hi)
         if n % 2:
             rest = jax.tree_util.tree_map(lambda x: take(x, slice(2 * half, n)), p)
-            s = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b], axis=taxis), s, rest
-            )
+            s = cat_els(s, rest)
             n = half + 1
         else:
             n = half
         p = s
     return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, axis=taxis), p)
+
+
+def verify_batch_adaptive(hx, hy, sx, sy, pqx, pqy,
+                          weights=None, nbits: int | None = None):
+    """Per-tuple results at fused-tier cost for the common all-valid
+    case: run the fused RLC check first (ONE shared final exp); if it
+    accepts, every tuple is valid (up to the 2^-rlc_bits RLC soundness
+    bound) and the per-tuple final exponentiations are skipped entirely.
+    On rejection, fall back to the exact independent tier to report
+    WHICH tuples failed.
+
+    Semantics vs `verify_batch_independent`: identical outputs except
+    that a forged batch passes the RLC pre-check (and returns all-True)
+    with probability ~2^-rlc_bits over the weight draw — the same bound
+    the fused/sharded tiers carry. Returns a (B,) bool array.
+    """
+    if weights is None:
+        weights = random_weights(hx.batch_shape[-1], nbits)
+    ok = verify_batch_fused_staged(hx, hy, sx, sy, pqx, pqy, weights,
+                                   nbits=nbits)
+    if bool(jax.device_get(ok)):
+        return jnp.ones(hx.batch_shape[-1], dtype=bool)
+    return verify_batch_independent_staged(hx, hy, sx, sy, pqx, pqy)
 
 
 # ---------------------------------------------------------------------------
@@ -373,13 +427,15 @@ def make_sharded_verifier(
     """Build an SPMD fused verifier over `mesh`'s `axis_name` axis.
 
     Full data-parallel pipeline:
-      1. weight application: [w_i]H_i and [w_i]sig_i (local fixed ladders)
-      2. local Miller loops over the shard's tuples
+      1. weight application: [w_i]H_i and [w_i]sig_i (local GLV ladders)
+      2. local Miller loops over the shard's tuples, WITH the shard's
+         weighted-signature-sum pair e(S_shard, -G2::one) as an extra
+         row (bilinearity makes per-shard S rows compose by product —
+         no G1 collective needed; see `_fused_points`)
       3. shard-local Fq12 tree product
-      4. cross-chip Fq12 product all-reduce over ICI/DCN
-      5. weighted-signature sum: local tree sum + Jacobian-add all-reduce
-      6. the final 2nd pair e(S, -G2::one) + ONE final exponentiation on
-         the replicated reduction results.
+      4. cross-chip Fq12 product all-reduce over ICI/DCN — the ONLY
+         collective
+      5. ONE shared final exponentiation on the replicated reduction.
 
     By default the pipeline is compiled as THREE programs — (1-3) local
     shard_map, (4-5) collective shard_map, (6) replicated staged final —
@@ -405,17 +461,11 @@ def make_sharded_verifier(
     if monolithic:
 
         def shard_fn(hx, hy, sx, sy, pqx, pqy, w):
-            f_local, s_local = _local_stage(
+            f_local = _fused_local_product(
                 hx, hy, sx, sy, pqx, pqy, w, nbits
             )
             f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
-            s_all = COLL.jacobian_allreduce_add(
-                s_local, DG1.add, axis_name, n_dev
-            )
-            ssx, ssy, _ = DG1.to_affine(s_all)
-            ngx, ngy = _neg_g2_one(())
-            f_sig = M.miller_loop(ssx, ssy, ngx, ngy)
-            return T.fq12_is_one(FE.final_exp(T.fq12_mul(f_all, f_sig)))
+            return T.fq12_is_one(FE.final_exp_wide(f_all))
 
         sharded = jax.jit(
             jax.shard_map(
@@ -444,13 +494,10 @@ def make_sharded_verifier(
     # ---- staged pipeline ----
 
     def local_fn(hx, hy, sx, sy, pqx, pqy, w):
-        f_local, s_local = _local_stage(hx, hy, sx, sy, pqx, pqy, w, nbits)
+        f_local = _fused_local_product(hx, hy, sx, sy, pqx, pqy, w, nbits)
         # re-expose per-shard scalars as a size-1 batch dim so the stage
         # boundary is an ordinary sharded global array of size n_dev
-        expand = lambda x: x[..., None]
-        f_local = jax.tree_util.tree_map(expand, f_local)
-        s_local = jax.tree_util.tree_map(expand, s_local)
-        return f_local, s_local
+        return jax.tree_util.tree_map(lambda x: x[..., None], f_local)
 
     local_jit = jax.jit(
         jax.shard_map(
@@ -462,22 +509,16 @@ def make_sharded_verifier(
         )
     )
 
-    def reduce_fn(f_local, s_local):
-        squeeze = lambda x: x[..., 0]
-        f_local = jax.tree_util.tree_map(squeeze, f_local)
-        s_local = jax.tree_util.tree_map(squeeze, s_local)
+    def reduce_fn(f_local):
+        f_local = jax.tree_util.tree_map(lambda x: x[..., 0], f_local)
         f_all = COLL.fq12_allreduce_mul(f_local, axis_name, n_dev)
-        s_all = COLL.jacobian_allreduce_add(
-            s_local, DG1.add, axis_name, n_dev
-        )
-        ssx, ssy, _ = DG1.to_affine(s_all)
-        return T.fq12_retag(f_all), ssx, ssy
+        return T.fq12_retag(f_all)
 
     reduce_jit = jax.jit(
         jax.shard_map(
             reduce_fn,
             mesh=mesh,
-            in_specs=(batch_spec, batch_spec),
+            in_specs=(batch_spec,),
             out_specs=rep,
             check_vma=False,
         )
@@ -487,7 +528,7 @@ def make_sharded_verifier(
         """hx..sy: limbs.El (18, B); pqx/pqy: tower.Fq2 of El; weights:
         GlvWeights, El limb tensor, or a list of ints. Returns a scalar
         bool."""
-        from ..pairing.pairing import _is_one_jit, _miller_jit
+        from ..pairing.pairing import _is_one_jit
 
         B = hx.batch_shape[-1]
         if B % n_dev != 0:
@@ -501,26 +542,8 @@ def make_sharded_verifier(
         hx, hy, sx, sy, pqx, pqy, w = MESH.shard_tree(
             (hx, hy, sx, sy, pqx, pqy, w), mesh, axis_name
         )
-        f_local, s_local = local_jit(hx, hy, sx, sy, pqx, pqy, w)
-        f_all, ssx, ssy = reduce_jit(f_local, s_local)
-        ngx, ngy = _neg_g2_one(())
-        f_sig = _miller_jit(ssx, ssy, ngx, ngy)
-        total = _fused_combine_scalar_jit(f_all, f_sig)
-        return _is_one_jit(FE.final_exp_staged(total))
+        f_local = local_jit(hx, hy, sx, sy, pqx, pqy, w)
+        f_all = reduce_jit(f_local)
+        return _is_one_jit(FE.final_exp_staged_wide(f_all))
 
     return run
-
-
-_fused_combine_scalar_jit = jax.jit(
-    lambda f_all, f_sig: T.fq12_retag(T.fq12_mul(f_all, f_sig))
-)
-
-
-def _local_stage(hx, hy, sx, sy, pqx, pqy, w, nbits: int):
-    """Per-shard work: weight ladders, Miller loops, local reductions."""
-    wh, ws = _apply_weights(hx, hy, sx, sy, w, nbits)
-    whx, why, _ = DG1.to_affine(wh)
-    f = M.miller_loop(whx, why, pqx, pqy)
-    f_local = T.fq12_retag(DP.fq12_reduce_mul(f, axis=0))
-    s_local = _g1_tree_sum(ws)
-    return f_local, s_local

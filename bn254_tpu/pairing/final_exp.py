@@ -204,3 +204,61 @@ def final_exp_staged(f: Fq12) -> Fq12:
     ft2 = _exp_u_jit(ft1)
     ft3 = _exp_u_jit(ft2)
     return _hard_jit(f, ft1, ft2, ft3)
+
+
+# ---------------------------------------------------------------------------
+# scalar (batch-()) final exp via one replicated Pallas block
+# ---------------------------------------------------------------------------
+
+# Batch-1 device programs on this backend run ~15x slower than one full
+# Pallas block (measured 216.8 ms vs ~15 ms for the shared final exp of
+# the fused tier — tools/profile_fused.py): tiny (18,)-shaped tensors
+# take the non-fused op-soup path where per-op dispatch dominates. A
+# SCALAR final exp therefore replicates its input across one block's
+# lanes, runs the batched fused pipeline once, and takes lane 0.
+_WIDE_LANES = 256
+
+
+def _map_els(fn, x):
+    if isinstance(x, L.El):
+        return fn(x)
+    return type(x)(*[_map_els(fn, c) for c in x])
+
+
+def _use_wide() -> bool:
+    from .. import config as C
+    from ..kernels.fused import fused_supported
+    from ..kernels.montmul import use_pallas
+
+    return (
+        C.DEFAULT.fuse_tower_ops
+        and fused_supported()
+        and use_pallas((_WIDE_LANES,))
+    )
+
+
+def final_exp_wide(f: Fq12) -> Fq12:
+    """`final_exp` for a scalar Fq12 via the replicated-block trick
+    (falls through to the plain form when batched or non-fused)."""
+    if f.c0.c0.c0.batch_shape != () or not _use_wide():
+        return final_exp(f)
+    fb = _map_els(lambda e: L.bcast_to(e, (_WIDE_LANES,)), f)
+    out = final_exp(fb)
+    return _map_els(lambda e: L.elmap(lambda a: a[:, 0], e), out)
+
+
+def final_exp_staged_wide(f: Fq12) -> Fq12:
+    """`final_exp_staged` for a scalar Fq12 (replicated-block trick)."""
+    if f.c0.c0.c0.batch_shape != () or not _use_wide():
+        return final_exp_staged(f)
+    fb = _widen_jit(f)
+    out = final_exp_staged(fb)
+    return _narrow_jit(out)
+
+
+_widen_jit = jax.jit(
+    lambda f: _map_els(lambda e: L.bcast_to(e, (_WIDE_LANES,)), f)
+)
+_narrow_jit = jax.jit(
+    lambda f: _map_els(lambda e: L.elmap(lambda a: a[:, 0], e), f)
+)

@@ -53,6 +53,19 @@ def fq12_reduce_mul(f: Fq12, axis: int = 0) -> Fq12:
     def length(x):
         return x.shape[taxis]
 
+    def cat_els(a, b):
+        """El-aware concat: merged (max) static bounds — tree_map alone
+        would reject trees whose El aux tags differ (a product's bounds
+        vs a leftover slice's; hit whenever n is odd, e.g. the fused
+        tier's B+1 batches)."""
+        if isinstance(a, L.El):
+            return L.El(
+                jnp.concatenate([a.arr, b.arr], axis=taxis),
+                max(a.vmax, b.vmax),
+                max(a.lmax, b.lmax),
+            )
+        return type(a)(*[cat_els(x, y) for x, y in zip(a, b)])
+
     leaf = jax.tree_util.tree_leaves(f)[0]
     n = leaf.shape[taxis]
     while n > 1:
@@ -66,9 +79,7 @@ def fq12_reduce_mul(f: Fq12, axis: int = 0) -> Fq12:
             rest = jax.tree_util.tree_map(
                 lambda x: take(x, slice(2 * half, n)), f
             )
-            prod = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b], axis=taxis), prod, rest
-            )
+            prod = cat_els(prod, rest)
             n = half + 1
         else:
             n = half

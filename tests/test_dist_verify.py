@@ -126,6 +126,31 @@ def test_chunked_fused_matches_unchunked(batch):
         )
 
 
+def test_adaptive_accept_and_fallback(batch):
+    """verify_batch_adaptive: all-valid batch -> all-True via the RLC
+    pre-check alone; tampered batch -> exact per-tuple fallback flags
+    exactly the tampered index."""
+    from bn254_tpu.curve import glv as GLV
+
+    msgs, sks, hpts, sigs, pks, dev = batch
+    hx, hy, sx, sy, pqx, pqy, _ = dev
+    w = GLV.random_glv_weights(B, bits=32)
+
+    ok = np.asarray(
+        BV.verify_batch_adaptive(hx, hy, sx, sy, pqx, pqy, weights=w)
+    )
+    assert ok.shape == (B,) and ok.all()
+
+    sigs_bad = list(sigs)
+    bad_i = 6
+    sigs_bad[bad_i] = HC.g1_mul(hpts[bad_i], sks[0].scalar)
+    sxb, syb = CV.g1_batch_to_device_affine(sigs_bad)
+    ok2 = np.asarray(
+        BV.verify_batch_adaptive(hx, hy, sxb, syb, pqx, pqy, weights=w)
+    )
+    assert not ok2[bad_i] and ok2.sum() == B - 1
+
+
 def test_sharded_rejects_non_divisible_batch(mesh, batch):
     msgs, sks, hpts, sigs, pks, dev = batch
     hx, hy, sx, sy, pqx, pqy, w = dev

@@ -19,6 +19,7 @@ MATRIX=(
   "indep_pair2_B4096|BN254_PAIR2=1|--batch 4096"
   "indep_pair2_B16384|BN254_PAIR2=1|--batch 16384"
   "fused_glv_B8192||--mode fused"
+  "adaptive_B8192||--mode adaptive --batch 8192"
   "fused_plain_B8192|BN254_DISABLE_GLV=1|--mode fused"
   "sharded_glv_B8192||--mode sharded"
   "fp12||--mode fp12"

@@ -98,7 +98,7 @@ def measure_local_stage(b: int) -> float:
     import functools
 
     fn = functools.partial(
-        jax.jit(BV._local_stage, static_argnames=("nbits",)),
+        jax.jit(BV._fused_local_product, static_argnames=("nbits",)),
         nbits=w.half_bits,
     )
     t0 = time.time()
