@@ -55,10 +55,24 @@ def cache_dir() -> str:
     )
 
 
+def _platform() -> str:
+    """Resolve the target platform WITHOUT initializing the backend —
+    `jax.default_backend()` would lock in the XLA backend, breaking
+    callers that still need `jax.distributed.initialize()` afterwards
+    (the multi-process workers)."""
+    import jax
+
+    plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    plat = plat.split(",")[0].strip().lower()
+    if plat:
+        return "tpu" if plat == "axon" else plat
+    return jax.default_backend()  # last resort (initialises the backend)
+
+
 def _platform_subdir(base: str) -> str:
     import jax
 
-    return os.path.join(base, f"{jax.default_backend()}-jax{jax.__version__}")
+    return os.path.join(base, f"{_platform()}-jax{jax.__version__}")
 
 
 def _gc_legacy(base: str) -> None:
@@ -163,7 +177,7 @@ def enable() -> str:
     """
     import jax
 
-    if jax.default_backend() == "cpu":
+    if _platform() == "cpu":
         jax.config.update("jax_enable_compilation_cache", False)
         return "<disabled: cpu executable deserialization is unsafe>"
 
