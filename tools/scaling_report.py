@@ -9,14 +9,14 @@ measures anything (N virtual CPU devices share one physical socket, so
 their wall-clock "efficiency" is meaningless):
 
 1. **Per-shard compute time** T_c(b): the full local verification stage
-   (weight ladders + Miller loops + local Fq12 tree product + G1 tree
-   sum) at per-shard batch b — measured on the real chip when run with
-   JAX_PLATFORMS unset, else on CPU (still a valid model input, just
-   slower).
-2. **Collective payload**: exact byte counts of the Fq12-product and
-   G1-sum all-reduces (one Fq12 + one Jacobian G1 per shard,
-   independent of batch size — the whole point of the shard-local tree
-   reduction), and the ppermute round count of
+   (GLV weight ladders + (b+1)-row Miller loops incl. the shard's
+   signature-sum pair + local Fq12 tree product) at per-shard batch b —
+   measured on the real chip when run with JAX_PLATFORMS unset, else on
+   CPU (still a valid model input, just slower).
+2. **Collective payload**: the exact byte count of the Fq12-product
+   all-reduce (ONE Fq12 per shard, independent of batch size — the
+   shard-local tree reduction plus the in-batch signature-sum row make
+   it the only collective), and the ppermute round count of
    `collectives.allreduce_monoid` for each mesh size.
 3. **Machinery check**: the sharded pipeline actually executes on an
    8-device virtual mesh (accept + reject), so the modeled collective
@@ -55,8 +55,10 @@ ICI = dict(alpha=1e-6, beta=45e9, name="ICI (intra-slice)")
 DCN = dict(alpha=10e-6, beta=12.5e9, name="DCN (cross-host)")
 
 FQ12_BYTES = 12 * NLIMBS * 4  # 864
-G1J_BYTES = 3 * NLIMBS * 4  # 216
-PAYLOAD = FQ12_BYTES + G1J_BYTES
+# round 4: the G1 signature-sum all-reduce is gone — each shard's
+# weighted-signature pair rides inside its own Miller batch (bilinearity;
+# batch_verify._fused_points), so the Fq12 product is the ONLY collective.
+PAYLOAD = FQ12_BYTES
 
 
 def rounds(n: int) -> int:
@@ -124,9 +126,10 @@ def main():
         f"({b/t_c:.0f} tuple-verifies/s/shard).",
         "",
         "Cross-shard traffic per step (batch-independent — the",
-        "shard-local tree reductions collapse each shard to ONE Fq12 +",
-        f"ONE Jacobian G1): {FQ12_BYTES} + {G1J_BYTES} = {PAYLOAD} bytes",
-        "per ppermute round (`dist/collectives.py` recursive doubling).",
+        "shard-local tree reduction collapses each shard to ONE Fq12;",
+        "the former G1-sum all-reduce is gone, each shard's signature",
+        f"pair rides in its Miller batch): {PAYLOAD} bytes per ppermute",
+        "round (`dist/collectives.py` recursive doubling).",
         "",
         "| chips | hosts | rounds | link | T_comm | efficiency |",
         "|---|---|---|---|---|---|",
