@@ -34,7 +34,7 @@ run() {
   echo "=== $tag (env: ${env_vars:-none}) $(date -u +%H:%M:%S)" >&2
   local log="/tmp/bench_${tag}.log"
   local t0=$SECONDS
-  env $env_vars timeout 5400 python bench.py $bench_args >"$log" 2>&1
+  env $env_vars timeout "${BENCH_TIMEOUT:-5400}" python bench.py $bench_args >"$log" 2>&1
   local rc=$?
   local wall=$((SECONDS - t0))
   local json

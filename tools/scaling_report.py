@@ -115,8 +115,16 @@ def measure_local_stage(b: int) -> float:
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # optional: reuse an already-measured local-stage time (seconds) from
+    # a bench/profiler run instead of recompiling the stage here —
+    # tools/profile_fused.py and bench.py --mode fused measure the same
+    # program (e.g. `scaling_report.py 8192 0.097` from the B=8192 fused
+    # bench: 124.8 ms total - 11.7 hash - ~15 FE_wide - 1 is_one).
+    t_c_override = float(sys.argv[2]) if len(sys.argv) > 2 else None
     backend = jax.default_backend()
-    t_c = measure_local_stage(b)
+    t_c = t_c_override if t_c_override else measure_local_stage(b)
+    if t_c_override:
+        backend = f"{backend} (t_c from bench artifacts)"
 
     lines = [
         "# SCALING — weak-scaling efficiency (BASELINE.md north star)",
