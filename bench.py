@@ -4,13 +4,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Headline metric (default --mode independent): batched independent
-verifications/sec/chip, driver config 3 — device hash-to-G1 (masked
-K-candidate search) + vmapped Miller loops + per-tuple final exps, all
-inside the measured program. vs_baseline is the speedup over the
-single-threaded host (pure-Python-int) oracle doing the same work — the
-closest stand-in for the reference's single-core Rust path, since the
-reference publishes no numbers (BASELINE.md).
+Headline metric (default --mode adaptive): per-tuple verification
+results at fused-RLC cost — device hash-to-G1 (masked K-candidate
+search) + GLV weight ladders + one batched Miller loop + ONE shared
+final exponentiation, with per-tuple bools produced device-side from
+the RLC pre-check and an exact independent-tier fallback on rejection
+(semantics: a forged batch slips past the pre-check with probability
+~2^-rlc_bits over the weight draw — dist/batch_verify.py). The
+pre-check decision bit rides an ASYNC device->host copy so back-to-back
+batches pipeline without a mid-path stall; the bench resolves and
+asserts every batch's decision after timing. vs_baseline is the speedup
+over the single-threaded host (pure-Python-int) oracle doing the same
+work — the closest stand-in for the reference's single-core Rust path,
+since the reference publishes no numbers (BASELINE.md).
 
 Timing uses tools/timing.measure: on this environment's TPU tunnel
 `jax.block_until_ready` returns before execution finishes, so every
@@ -23,6 +29,9 @@ Flags: --smoke (tiny sizes for CI), --batch N,
 --mode {independent,fused,sharded,fp12}.
 
 What each measured program contains (honesty contract):
+  adaptive    — device hash-to-G1 + RLC pre-check (one shared final
+                exp) + device-side per-tuple bools; the decision
+                readback overlaps the next rep (hash IN).
   independent — device hash-to-G1 + per-tuple pairing checks (hash IN).
   fused       — device hash-to-G1 + RLC weighting + one product check
                 with ONE shared final exp (hash IN; config 4 on 1 chip).
@@ -222,9 +231,11 @@ def main():
     ap.add_argument("--chunks", type=int, default=1,
                     help="stream --mode fused through this many chunks "
                     "(config-5 1M path; device-generated fixture)")
-    ap.add_argument("--mode", default="independent",
+    ap.add_argument("--mode", default="adaptive",
                     choices=["independent", "adaptive", "fused", "sharded",
-                             "fp12"])
+                             "fp12"],
+                    help="adaptive (default headline): per-tuple bools "
+                    "at fused-RLC cost with exact independent fallback")
     ap.add_argument("--pipeline", default="staged",
                     choices=["staged", "mono"],
                     help="staged: several small jitted programs (compiles "
@@ -258,9 +269,11 @@ def main():
     log(f"device: {dev.platform} {dev.device_kind}")
 
     # config 3 (independent) is specified at batch 64+ (we use 4096 for
-    # steady-state); config 4 (fused/sharded product check) at 8192.
+    # steady-state); config 4 (fused/sharded product check) and the
+    # adaptive headline at 8192.
     B = args.batch or (
-        8 if args.smoke else (8192 if args.mode in ("fused", "sharded") else 4096)
+        8 if args.smoke
+        else (4096 if args.mode == "independent" else 8192)
     )
 
     # ---- build a valid batch (host-side fixtures) ----
@@ -351,7 +364,8 @@ def main():
         from bn254_tpu import config as _C
 
         if not _C.DEFAULT.glv_weights:
-            w = CV.scalars_to_device(BV.random_weights_plain(B))
+            # validated at conversion, device-resident across reps
+            w = BV.weights_to_device(BV.random_weights_plain(B))
 
         if args.mode == "sharded":
             from jax.sharding import Mesh
@@ -363,11 +377,19 @@ def main():
             fn0 = BV.make_sharded_verifier(mesh, "batch")
         elif args.mode == "adaptive":
             # per-tuple bools via the RLC pre-check fast path (all-valid
-            # batch -> ONE shared final exp; see verify_batch_adaptive)
+            # batch -> ONE shared final exp). defer=True: the per-tuple
+            # answer is a DEVICE broadcast of the pre-check bit and the
+            # decision readback rides async, so the measured reps
+            # pipeline back-to-back with no mid-path host stall; every
+            # rep's decision is resolved (and asserted) after timing.
+            results = []
+
             def fn0(hx, hy, sx, sy, pqx, pqy, w):
-                return BV.verify_batch_adaptive(
-                    hx, hy, sx, sy, pqx, pqy, weights=w
+                res = BV.verify_batch_adaptive(
+                    hx, hy, sx, sy, pqx, pqy, weights=w, defer=True
                 )
+                results.append(res)
+                return res.per_tuple
         else:
             fn0 = BV.verify_batch_fused_staged
 
@@ -381,6 +403,13 @@ def main():
         assert bool(np.asarray(ok0).all()), "fused benchmark batch failed!"
         reps = 1 if args.smoke else 4
         dev_time = measure(fn, reps=reps)
+        if args.mode == "adaptive":
+            # resolve every deferred decision (none may need fallback)
+            for res in results:
+                assert bool(np.asarray(res.resolve()).all()), \
+                    "adaptive batch failed after resolve!"
+            log(f"adaptive: resolved {len(results)} deferred decisions, "
+                "all accepted (no fallback launched)")
 
     log(f"compile+first run (cold): {cold:.1f}s")
     dev_rate = B / dev_time

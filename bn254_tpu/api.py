@@ -93,10 +93,15 @@ def batch_verify(
     elif mode == "adaptive":
         # per-tuple bools; fused-tier cost when all tuples are valid
         # (falls back to the exact independent tier on rejection — see
-        # BV.verify_batch_adaptive for the 2^-rlc_bits caveat)
+        # BV.verify_batch_adaptive for the 2^-rlc_bits caveat). Weights
+        # follow cfg.glv_weights like mode="fused" (ADVICE r4).
+        if cfg.glv_weights:
+            w = BV.random_weights(n, cfg.rlc_bits)
+        else:
+            w = BV.random_weights_plain(n, cfg.rlc_bits)
         return np.asarray(
             BV.verify_batch_adaptive(
-                hx, hy, sx, sy, pqx, pqy, nbits=cfg.rlc_bits
+                hx, hy, sx, sy, pqx, pqy, weights=w, nbits=cfg.rlc_bits
             )
         )
     elif mode == "fused":

@@ -92,18 +92,39 @@ class GlvWeights:
 def random_glv_weights(n: int, bits: int | None = None) -> GlvWeights:
     """Draw n RLC weights in GLV form (first fixed to w_0 = 1 = (1, 0)).
 
-    bits: total soundness width (default config.rlc_bits, must be even);
-    a_i, b_i are uniform (bits//2)-bit with a_i forced odd so w_i != 0.
+    bits: total soundness width (default config.rlc_bits; must be even,
+    with bits//2 <= 126 so the injectivity lattice argument above holds).
+    (a_i, b_i) is uniform over [0, 2^(bits//2))^2 \\ {(0, 0)} — the zero
+    pair is redrawn (probability 2^-bits) because w = 0 would leave that
+    tuple unweighted in the fused check; every other pair is fine since
+    injectivity makes w != 0 for (a, b) != (0, 0). The weight set
+    therefore has 2^bits - 1 elements and the forgery bound is the
+    advertised ~2^-bits (ADVICE r4: the old `| 1` odd-forcing halved it).
     """
     if bits is None:
         from .. import config as C
 
         bits = C.DEFAULT.rlc_bits
-    assert bits % 2 == 0 and bits >= 2
+    if bits % 2 != 0 or bits < 2:
+        raise ValueError(
+            f"rlc_bits must be even and >= 2 for GLV weights, got {bits}"
+        )
     half = bits // 2
-    a = [1] + [secrets.randbits(half) | 1 for _ in range(n - 1)]
-    b = [0] + [secrets.randbits(half) for _ in range(n - 1)]
-    return glv_weights_to_device(list(zip(a, b)), bits)
+    if half > 126:
+        raise ValueError(
+            f"rlc_bits {bits} too wide: the GLV injectivity bound "
+            "(shortest lattice vector ~2^127) only guarantees a "
+            "collision-free weight set for bits//2 <= 126"
+        )
+
+    def draw():
+        while True:
+            a, b = secrets.randbits(half), secrets.randbits(half)
+            if a or b:
+                return a, b
+
+    pairs = [(1, 0)] + [draw() for _ in range(n - 1)]
+    return glv_weights_to_device(pairs, bits)
 
 
 def glv_weights_to_device(pairs, bits: int) -> GlvWeights:

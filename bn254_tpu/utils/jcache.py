@@ -76,11 +76,25 @@ def _platform_subdir(base: str) -> str:
 
 
 def _gc_legacy(base: str) -> None:
-    """Delete flat (pre-subdirectory) entries left in the base dir."""
+    """Delete flat (pre-subdirectory) CACHE entries left in the base dir.
+
+    Scoped narrowly (ADVICE r4): only the default in-repo `.jax_cache`
+    is swept — a user-chosen BN254_CACHE_DIR may hold unrelated files or
+    another tool's live flat cache — and only names matching jax's
+    cache-entry convention (`jit_*`, `*-cache`, `*-atime`) are removed.
+    """
+    if base != os.path.join(_REPO, ".jax_cache"):
+        return
     try:
         for name in os.listdir(base):
             p = os.path.join(base, name)
-            if os.path.isfile(p):
+            if not os.path.isfile(p):
+                continue
+            if (
+                name.startswith("jit_")
+                or name.endswith("-cache")
+                or name.endswith("-atime")
+            ):
                 os.unlink(p)
     except OSError:
         pass
@@ -96,10 +110,41 @@ def _patch_cache_robustness() -> None:
         return
     _patched = True
 
+    import inspect
     import threading
 
     from jax._src import compilation_cache as cc
     from jax._src import lru_cache as lc
+
+    # Pin the patched private signatures (ADVICE r4): on a jax upgrade a
+    # silent drift would make every wrapped call fail, which the broad
+    # except below would misread as per-entry corruption — evicting the
+    # whole cache and recompiling cold each session with no visible
+    # error. Fail LOUD (skip patching, keep stock behavior) instead.
+    try:
+        put_params = tuple(
+            inspect.signature(lc.LRUCache.put).parameters
+        )
+        get_params = tuple(
+            inspect.signature(cc.get_executable_and_time).parameters
+        )
+    except (TypeError, ValueError):  # C-level / unsupported callables
+        put_params = get_params = None
+    if put_params != ("self", "key", "val") or get_params != (
+        "cache_key",
+        "compile_options",
+        "backend",
+        "executable_devices",
+    ):
+        logger.warning(
+            "jax private cache internals changed (LRUCache.put%s, "
+            "get_executable_and_time%s); skipping the atomic-write/"
+            "evict-on-corrupt robustness patch — cache writes are NOT "
+            "crash-atomic this session",
+            put_params,
+            get_params,
+        )
+        return
 
     orig_put = lc.LRUCache.put
     put_lock = threading.Lock()  # guards the self.path swap below
@@ -143,6 +188,10 @@ def _patch_cache_robustness() -> None:
             return orig_get(
                 cache_key, compile_options, backend, executable_devices
             )
+        except TypeError:
+            # systematic failure (e.g. a signature drift the pin above
+            # missed), not a corrupt entry: surface it
+            raise
         except Exception as e:  # corrupt entry: evict + treat as miss
             logger.warning(
                 "evicting corrupt compilation-cache entry %s: %r",

@@ -59,8 +59,8 @@ print(json.dumps(d))" >> "$OUT" 2>/dev/null \
 }
 
 want() {
-  [ $# -eq 0 ] && return 0
   local tag="$1"; shift
+  [ $# -eq 0 ] && return 0  # no selectors: run every row
   for w in "$@"; do [ "$w" = "$tag" ] && return 0; done
   return 1
 }
@@ -68,7 +68,9 @@ want() {
 SELECT=("$@")
 for row in "${MATRIX[@]}"; do
   IFS='|' read -r tag env_vars bench_args <<< "$row"
-  if want "$tag" "${SELECT[@]:-}"; then
+  # ${SELECT[@]+...} expands to NOTHING when the array is empty (a bare
+  # "${SELECT[@]:-}" would pass one empty word, matching no tag ever)
+  if want "$tag" ${SELECT[@]+"${SELECT[@]}"}; then
     run "$tag" "$env_vars" "$bench_args"
   fi
 done
