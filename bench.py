@@ -145,6 +145,19 @@ def bench_fused_chunked(args):
     blocks_np, ctr_word, ctr_shift = TB.prepare_blocks_host(msgs)
     log(f"host block prep: {time.time()-t0:.1f}s for B={B}")
 
+    # Every first call below cold-compiles a chunk-shape program (the
+    # compile itself is host-synchronous). The round-4 B=1M attempt
+    # timed out INSIDE this region with nothing logged (VERDICT r4
+    # missing #1) — so each first call is timed and logged, and chunk
+    # size should be picked so the heavy stage programs (points/Miller/
+    # final exp at CH) hit the persistent TPU cache from the fused-tier
+    # bench (CH=8192 matches fused_glv_B8192's programs exactly).
+    def timed_first(name, f, *a):
+        tc = time.time()
+        out = f(*a)
+        log(f"  first call (compile) {name}: {time.time()-tc:.1f}s")
+        return out
+
     t0 = time.time()
     _hash_jit = jax.jit(
         functools.partial(TB.hash_to_g1_batch, k_candidates=K)
@@ -162,18 +175,29 @@ def bench_fused_chunked(args):
         lambda sk: DG2.to_affine(DG2.scalar_mul(g2gen, sk, 32))
     )
     blocks_dev, sxs, sys, pqxs, pqys = [], [], [], [], []
+    hx0 = hy0 = None
     for ci in range(nch):
         bl = jnp.asarray(blocks_np[ci * CH : (ci + 1) * CH])
         blocks_dev.append(bl)
-        hx, hy, found, _ = _hash_jit(bl, ctr_word, ctr_shift)
-        assert bool(np.asarray(found).all()), "fixture hash miss"
         sk = CV.scalars_to_device(sk_host[ci * CH : (ci + 1) * CH])
-        sx, sy, _ = sig_mul(hx, hy, sk)
-        pqx, pqy, _ = pk_mul(sk)
+        if ci == 0:
+            hx, hy, found, _ = timed_first(
+                f"hash K={K} [CH={CH}]", _hash_jit, bl, ctr_word, ctr_shift
+            )
+            sx, sy, _ = timed_first("sig scalar_mul", sig_mul, hx, hy, sk)
+            pqx, pqy, _ = timed_first("pk G2 scalar_mul", pk_mul, sk)
+            hx0, hy0 = hx, hy
+        else:
+            hx, hy, found, _ = _hash_jit(bl, ctr_word, ctr_shift)
+            sx, sy, _ = sig_mul(hx, hy, sk)
+            pqx, pqy, _ = pk_mul(sk)
+        assert bool(np.asarray(found).all()), "fixture hash miss"
         sxs.append(sx)
         sys.append(sy)
         pqxs.append(pqx)
         pqys.append(pqy)
+        if ci and ci % 16 == 0:
+            log(f"  fixture chunk {ci}/{nch} ({time.time()-t0:.1f}s)")
     log(f"device fixture: {time.time()-t0:.1f}s ({nch} chunks of {CH})")
 
     w = BV.random_weights(B)
@@ -185,6 +209,20 @@ def bench_fused_chunked(args):
     from bn254_tpu.pairing.pairing import _is_one_jit
 
     points = functools.partial(BV._fused_points_jit, nbits=w.half_bits)
+
+    # pre-compile the streaming-stage programs on chunk 0, logged (a
+    # stall here is attributable; everything after is warm)
+    pts0 = timed_first(
+        "fused_points [CH]", points,
+        hx0, hy0, sxs[0], sys[0], pqxs[0], pqys[0], ws[0],
+    )
+    f0 = timed_first("miller_reduce [CH+1]", BV._miller_reduce_jit, *pts0)
+    f0 = timed_first("chunk_combine", BV._chunk_combine_jit, f0, f0)
+    timed_first(
+        "final_exp_staged_wide + is_one",
+        lambda f: _is_one_jit(FEX.final_exp_staged_wide(f)),
+        f0,
+    )
 
     def fn():
         f_acc = None
@@ -231,6 +269,11 @@ def main():
     ap.add_argument("--chunks", type=int, default=1,
                     help="stream --mode fused through this many chunks "
                     "(config-5 1M path; device-generated fixture)")
+    ap.add_argument("--sharded-chunk", type=int, default=None,
+                    help="with --mode sharded: stream the batch through "
+                    "the mesh in chunks of this size (per-chunk sharded "
+                    "Miller + collective, one shared final exp — the "
+                    "full config-5 structure)")
     ap.add_argument("--mode", default="adaptive",
                     choices=["independent", "adaptive", "fused", "sharded",
                              "fp12"],
@@ -244,6 +287,18 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # BN254_FORCE_CPU=1: run the bench on the virtual CPU mesh (the env
+    # var alone is not enough — a sitecustomize imports jax with the
+    # axon platform preselected; this in-process update is authoritative
+    # pre-backend-init, same as tests/conftest.py).
+    if os.environ.get("BN254_FORCE_CPU"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
 
     from bn254_tpu.utils.jcache import enable as _enable_jax_cache
 
@@ -374,7 +429,12 @@ def main():
             mesh = Mesh(devs, ("batch",))
             log(f"sharded mode: mesh axis 'batch' over {devs.size} "
                 f"{devs.flat[0].platform} device(s)")
-            fn0 = BV.make_sharded_verifier(mesh, "batch")
+            run_sharded = BV.make_sharded_verifier(mesh, "batch")
+
+            def fn0(hx, hy, sx, sy, pqx, pqy, w):
+                return run_sharded(
+                    hx, hy, sx, sy, pqx, pqy, w, chunk=args.sharded_chunk
+                )
         elif args.mode == "adaptive":
             # per-tuple bools via the RLC pre-check fast path (all-valid
             # batch -> ONE shared final exp). defer=True: the per-tuple

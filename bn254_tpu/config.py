@@ -51,11 +51,6 @@ class Config:
     # minimum flat batch for the Pallas kernel to beat the scan path.
     pallas_min_lanes: int = 256
 
-    # leaf-multiply algorithm: "cios" (VPU Pallas kernel / scan) or
-    # "fold" (MXU fold-matmul, kernels/fold_mul.py — the PERF §5 spike).
-    # Mirrors BN254_MUL_ALGO.
-    mul_algo: str = "cios"
-
     # shared-squaring 2-pair Miller loop with host-precomputed constant
     # -G2::one lines for the independent verification tier (pairing/
     # precompute.py): one fq12_sq per digit per TUPLE instead of per
@@ -94,8 +89,6 @@ class Config:
             env["fuse_tower_ops"] = False
         if os.environ.get("BN254_DISABLE_UNROLL"):
             env["unroll_static_loops"] = False
-        if os.environ.get("BN254_MUL_ALGO"):
-            env["mul_algo"] = os.environ["BN254_MUL_ALGO"]
         if os.environ.get("BN254_PAIR2"):
             env["pair2_miller"] = True
         if os.environ.get("BN254_DISABLE_PAIR2"):

@@ -647,10 +647,18 @@ def make_sharded_verifier(
         )
     )
 
-    def run(hx, hy, sx, sy, pqx, pqy, weights):
+    def run(hx, hy, sx, sy, pqx, pqy, weights, chunk: int | None = None):
         """hx..sy: limbs.El (18, B); pqx/pqy: tower.Fq2 of El; weights:
-        GlvWeights, El limb tensor, or a list of ints. Returns a scalar
-        bool."""
+        GlvWeights, PlainWeights, or a list of ints. Returns a scalar
+        bool.
+
+        chunk: stream the batch through the mesh in `chunk`-sized pieces
+        (each piece: sharded local Miller products + one cross-chip Fq12
+        collective), combining pieces with an O(1) Fq12 accumulator and
+        ONE shared final exponentiation at the end — the full BASELINE
+        config-5 structure (large batch x mesh) with peak memory
+        O(chunk) instead of O(B). chunk=None runs the one-shot form.
+        """
         from ..pairing.pairing import _is_one_jit
 
         B = hx.batch_shape[-1]
@@ -659,14 +667,33 @@ def make_sharded_verifier(
                 f"batch {B} must divide the mesh axis size {n_dev}"
             )
         w, _ = _resolve_weights(weights, nbits)
-        # place inputs as GLOBAL batch-sharded arrays: required for
-        # multi-process (every process passes the same full-batch host
-        # values), a cheap no-op resharding hint in single-process runs
-        hx, hy, sx, sy, pqx, pqy, w = MESH.shard_tree(
-            (hx, hy, sx, sy, pqx, pqy, w), mesh, axis_name
-        )
-        f_local = local_jit(hx, hy, sx, sy, pqx, pqy, w)
-        f_all = reduce_jit(f_local)
-        return _is_one_jit(FE.final_exp_staged_wide(f_all))
+        if chunk is None:
+            chunks = [(hx, hy, sx, sy, pqx, pqy, w)]
+        else:
+            if B % chunk != 0 or chunk % n_dev != 0:
+                raise InvalidLengthError(
+                    f"batch {B} must be a multiple of chunk {chunk}, "
+                    f"which must divide the mesh axis size {n_dev}"
+                )
+            chunks = [
+                tuple(
+                    _slice_batch(x, slice(off, off + chunk))
+                    for x in (hx, hy, sx, sy, pqx, pqy, w)
+                )
+                for off in range(0, B, chunk)
+            ]
+        f_acc = None
+        for piece in chunks:
+            # place inputs as GLOBAL batch-sharded arrays: required for
+            # multi-process (every process passes the same full-batch
+            # host values), a cheap no-op resharding hint otherwise
+            piece = MESH.shard_tree(piece, mesh, axis_name)
+            f_local = local_jit(*piece)
+            f_all = reduce_jit(f_local)
+            f_acc = (
+                f_all if f_acc is None
+                else _chunk_combine_jit(f_acc, f_all)
+            )
+        return _is_one_jit(FE.final_exp_staged_wide(f_acc))
 
     return run

@@ -492,17 +492,6 @@ def mont_mul(a: El, b: El) -> El:
     if _KERNEL_MODE:
         return _mont_mul_inline(aa, bb, out_v)
 
-    # MXU fold-matmul path (config.mul_algo="fold" / BN254_MUL_ALGO):
-    # the whole REDC as a bf16 matmul against constant fold matrices
-    # (kernels/fold_mul.py). Same residue; its own static bound.
-    from .. import config as C
-
-    if C.DEFAULT.mul_algo == "fold":
-        from ..kernels import fold_mul as FMK
-
-        arr, bound = FMK.fold_mul_arrays(aa, bb, a.lmax, b.lmax)
-        return El(arr, bound, 1 << LIMB_BITS)
-
     # Pallas fast path: VMEM-resident CIOS kernel (TPU, large batches) —
     # bit-identical to the scan below (see kernels/montmul.py).
     from ..kernels import montmul as MK
@@ -547,13 +536,6 @@ def _mont_mul_scan(aa: jnp.ndarray, bb: jnp.ndarray) -> jnp.ndarray:
 
 
 def mont_sqr(a: El) -> El:
-    if not _KERNEL_MODE:
-        from .. import config as C
-
-        if C.DEFAULT.mul_algo == "fold":
-            from ..kernels import fold_mul as FMK
-
-            return FMK.fold_sqr(a)
     return mont_mul(a, a)
 
 

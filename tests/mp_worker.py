@@ -77,7 +77,79 @@ def main():
     print(f"MP-RESULT proc={proc_id} tampered={bad}", flush=True)
 
     assert ok and not bad
+
+    if os.environ.get("MP_BENCH_COLLECTIVE"):
+        _bench_collective(mesh, proc_id, nproc)
+
     print(f"MP-DONE proc={proc_id}", flush=True)
+
+
+def _bench_collective(mesh, proc_id: int, nproc: int):
+    """Time the cross-PROCESS Fq12-product all-reduce alone (VERDICT r4
+    #8): the SCALING.md alpha-beta model's DCN per-round cost, measured
+    on this real jax.distributed gloo cluster over TCP instead of taken
+    from the literature. A no-collective program with the same launch/
+    sync structure is timed too; the difference isolates the collective.
+    """
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as PSpec
+
+    from bn254_tpu.constants import P
+    from bn254_tpu.dist import collectives as COLL
+    from bn254_tpu.dist import mesh as MESH
+    from bn254_tpu.fields import limbs as L
+    from bn254_tpu.fields import tower as T
+
+    def el(seed):
+        return L.from_ints(
+            [(seed * 0x9E3779B9 + i) % P for i in range(nproc)], vmax=P
+        )
+
+    f = T.Fq12(*[T.Fq6(*[T.Fq2(el(6 * h + 2 * v), el(6 * h + 2 * v + 1))
+                         for v in range(3)]) for h in range(2)])
+    (f,) = MESH.shard_tree((f,), mesh, "batch")
+    spec = PSpec(None, "batch")
+
+    def coll_fn(x):
+        x = jax.tree_util.tree_map(lambda a: a[..., 0], x)
+        return T.fq12_retag(COLL.fq12_allreduce_mul(x, "batch", nproc))
+
+    def base_fn(x):
+        x = jax.tree_util.tree_map(lambda a: a[..., 0], x)
+        return T.fq12_retag(T.fq12_mul(x, x))
+
+    coll_jit = jax.jit(jax.shard_map(
+        coll_fn, mesh=mesh, in_specs=(spec,), out_specs=PSpec(),
+        check_vma=False,
+    ))
+    base_jit = jax.jit(jax.shard_map(
+        base_fn, mesh=mesh, in_specs=(spec,), out_specs=PSpec(),
+        check_vma=False,
+    ))
+
+    def timed(fn, reps=64):
+        out = fn(f)  # warm (compile)
+        np.asarray(jax.device_get(out.c0.c0.c0.arr))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(f)
+            # sync EVERY iteration: each gloo round trip must complete
+            # before the next starts, so reps don't pipeline
+            np.asarray(jax.device_get(out.c0.c0.c0.arr[0]))
+        return (time.perf_counter() - t0) / reps
+
+    t_coll = timed(coll_jit)
+    t_base = timed(base_jit)
+    if proc_id == 0:
+        print(
+            f"MP-COLL nproc={nproc} t_coll_us={t_coll*1e6:.1f} "
+            f"t_base_us={t_base*1e6:.1f} "
+            f"t_round_us={(t_coll-t_base)*1e6:.1f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

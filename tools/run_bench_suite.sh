@@ -15,18 +15,18 @@ COMMIT=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
 
 # tag|env|args
 MATRIX=(
-  "indep_unroll_B4096||--batch 4096"
-  "indep_pair2_B4096|BN254_PAIR2=1|--batch 4096"
-  "indep_pair2_B16384|BN254_PAIR2=1|--batch 16384"
+  "indep_unroll_B4096||--mode independent --batch 4096"
+  "indep_pair2_B4096|BN254_PAIR2=1|--mode independent --batch 4096"
+  "indep_pair2_B16384|BN254_PAIR2=1|--mode independent --batch 16384"
   "fused_glv_B8192||--mode fused"
   "adaptive_B8192||--mode adaptive --batch 8192"
   "fused_plain_B8192|BN254_DISABLE_GLV=1|--mode fused"
   "sharded_glv_B8192||--mode sharded"
   "fp12||--mode fp12"
-  "fused_chunked_B1M||--mode fused --batch 1048576 --chunks 64"
-  "indep_fold_B4096|BN254_MUL_ALGO=fold BN254_DISABLE_FUSED=1 BN254_DISABLE_UNROLL=1|--batch 4096"
-  "indep_xlaonly_B4096|BN254_DISABLE_FUSED=1 BN254_DISABLE_UNROLL=1|--batch 4096"
-  "indep_fusedonly_B4096|BN254_DISABLE_UNROLL=1|--batch 4096"
+  "fused_chunked_B1M||--mode fused --batch 1048576 --chunks 128"
+  "sharded_chunked_B65536||--mode sharded --batch 65536 --sharded-chunk 8192"
+  "indep_xlaonly_B4096|BN254_DISABLE_FUSED=1 BN254_DISABLE_UNROLL=1|--mode independent --batch 4096"
+  "indep_fusedonly_B4096|BN254_DISABLE_UNROLL=1|--mode independent --batch 4096"
 )
 
 run() {

@@ -114,13 +114,26 @@ def measure_local_stage(b: int) -> float:
 
 
 def main():
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("b", nargs="?", type=int, default=4096)
     # optional: reuse an already-measured local-stage time (seconds) from
     # a bench/profiler run instead of recompiling the stage here —
     # tools/profile_fused.py and bench.py --mode fused measure the same
     # program (e.g. `scaling_report.py 8192 0.097` from the B=8192 fused
     # bench: 124.8 ms total - 11.7 hash - ~15 FE_wide - 1 is_one).
-    t_c_override = float(sys.argv[2]) if len(sys.argv) > 2 else None
+    ap.add_argument("t_c_override", nargs="?", type=float, default=None)
+    ap.add_argument(
+        "--dcn-round-us", type=float, default=None,
+        help="MEASURED per-round cost (us) of the cross-process Fq12 "
+        "all-reduce from tools/measure_dcn.py (2-process gloo cluster "
+        "over TCP). The DCN term becomes max(measured, literature "
+        "alpha + payload/beta): loopback measures the software stack, "
+        "the literature term covers real wire latency.",
+    )
+    args = ap.parse_args()
+    b, t_c_override = args.b, args.t_c_override
     backend = jax.default_backend()
     t_c = t_c_override if t_c_override else measure_local_stage(b)
     if t_c_override:
@@ -158,8 +171,13 @@ def main():
 
         dcn_rounds = min(r, int(math.log2(max(n_hosts, 1)) + 0.5)) if n_hosts > 1 else 0
         ici_rounds = r - dcn_rounds
+        dcn_per_round = DCN["alpha"] + PAYLOAD / DCN["beta"]
+        if args.dcn_round_us is not None:
+            # measured software-stack cost per round (gloo over TCP),
+            # floored by the literature wire model for conservatism
+            dcn_per_round = max(args.dcn_round_us * 1e-6, dcn_per_round)
         t_comm = ici_rounds * (ICI["alpha"] + PAYLOAD / ICI["beta"]) + \
-            dcn_rounds * (DCN["alpha"] + PAYLOAD / DCN["beta"])
+            dcn_rounds * dcn_per_round
         eff = t_c / (t_c + t_comm)
         link = "—" if r == 0 else ("ICI" if dcn_rounds == 0 else "ICI+DCN")
         lines.append(
@@ -186,6 +204,19 @@ def main():
         "scaling — hence the alpha-beta model above, with every input",
         "measured (compute time, payload bytes, round counts) rather",
         "than assumed.",
+        "",
+        (
+            f"DCN per-round input: **measured** "
+            f"{args.dcn_round_us:.1f} us/round on the real 2-process "
+            "jax.distributed gloo cluster over TCP "
+            "(tools/measure_dcn.py; software-stack cost, floored by the "
+            "literature alpha+payload/beta wire model for the table "
+            "above — loopback does not include real DCN wire latency)."
+            if args.dcn_round_us is not None
+            else "DCN per-round input: literature alpha-beta constants "
+            "(run tools/measure_dcn.py and pass --dcn-round-us for the "
+            "measured value)."
+        ),
         "",
         f"(generated by tools/scaling_report.py, backend={backend}, "
         f"b={b})",
