@@ -137,9 +137,14 @@ def glv_weights_to_device(pairs, bits: int) -> GlvWeights:
                 f"{half} bits; the {half}-step Shamir ladder would "
                 "truncate it"
             )
+    # vmax PINNED to the validated bound, not the data-dependent default
+    # (max value + 1): El bounds are static jit-cache metadata, so a
+    # data-dependent vmax gives every fresh weight draw a NEW program
+    # signature and silently recompiles the whole weight-ladder stage
+    # (~minutes) on every run.
     return GlvWeights(
-        L.from_ints([int(a) for a, _ in pairs]),
-        L.from_ints([int(b) for _, b in pairs]),
+        L.from_ints([int(a) for a, _ in pairs], vmax=1 << half),
+        L.from_ints([int(b) for _, b in pairs], vmax=1 << half),
         bits,
     )
 

@@ -53,8 +53,20 @@ def g2_batch_to_device_affine(points_jac):
 
 
 def scalars_to_device(scalars) -> jnp.ndarray:
-    """List of ints < 2^256 -> (18, B) canonical limb tensor (no Montgomery)."""
-    return L.from_ints(list(scalars))
+    """List of ints < 2^256 -> (18, B) canonical limb tensor (no Montgomery).
+
+    vmax is PINNED to 2^256 rather than from_ints' data-dependent
+    default (max value + 1): El bounds are static jit-cache metadata, so
+    a data-dependent bound would hand every batch of scalars a fresh
+    program signature — e.g. each chunk of the config-5 stream silently
+    recompiled its scalar-mul fixtures in round 4. Scalar consumers
+    (ladders) read bits, never the bound, so the wide pin is free.
+    """
+    vals = list(scalars)
+    for v in vals:
+        if int(v) >> 256:
+            raise ValueError(f"scalar {int(v):#x} exceeds 256 bits")
+    return L.from_ints(vals, vmax=1 << 256)
 
 
 def g2_const_affine(point_jac, batch_shape=()):

@@ -45,7 +45,11 @@ _REPO = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-_DEFAULT_MAX_GB = 8.0
+# 16 GiB: the round-4 8 GiB cap sat at 6.7 GiB used — one more round of
+# program shapes (adaptive B=8192, chunk-shape fixtures) would trigger
+# LRU eviction of exactly the warm headline entries the driver bench
+# needs; disk has >100 GB free.
+_DEFAULT_MAX_GB = 16.0
 
 
 def cache_dir() -> str:
