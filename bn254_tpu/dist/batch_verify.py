@@ -653,11 +653,17 @@ def make_sharded_verifier(
         bool.
 
         chunk: stream the batch through the mesh in `chunk`-sized pieces
-        (each piece: sharded local Miller products + one cross-chip Fq12
-        collective), combining pieces with an O(1) Fq12 accumulator and
-        ONE shared final exponentiation at the end — the full BASELINE
-        config-5 structure (large batch x mesh) with peak memory
-        O(chunk) instead of O(B). chunk=None runs the one-shot form.
+        — the full BASELINE config-5 structure (large batch x mesh) with
+        peak memory O(chunk) instead of O(B). Each piece runs only the
+        SHARD-LOCAL stage; pieces combine into a per-shard Fq12
+        accumulator ELEMENTWISE (sharded, no communication), so the
+        cross-chip/cross-host product all-reduce runs exactly ONCE per
+        job, after the last chunk, followed by ONE shared final
+        exponentiation. Collective cost therefore amortizes over the
+        whole stream: even a millisecond-scale per-round software stack
+        (the measured 2-process gloo cluster, tools/measure_dcn.py) is
+        noise against a streamed batch. chunk=None runs the one-shot
+        form.
         """
         from ..pairing.pairing import _is_one_jit
 
@@ -689,11 +695,13 @@ def make_sharded_verifier(
             # host values), a cheap no-op resharding hint otherwise
             piece = MESH.shard_tree(piece, mesh, axis_name)
             f_local = local_jit(*piece)
-            f_all = reduce_jit(f_local)
+            # per-shard (axis-sharded) accumulator: elementwise Fq12
+            # mul, identical shardings in and out -> zero communication
             f_acc = (
-                f_all if f_acc is None
-                else _chunk_combine_jit(f_acc, f_all)
+                f_local if f_acc is None
+                else _chunk_combine_jit(f_acc, f_local)
             )
-        return _is_one_jit(FE.final_exp_staged_wide(f_acc))
+        f_all = reduce_jit(f_acc)  # the ONLY collective, once per job
+        return _is_one_jit(FE.final_exp_staged_wide(f_all))
 
     return run

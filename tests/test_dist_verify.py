@@ -132,6 +132,29 @@ def test_chunked_fused_matches_unchunked(batch):
         )
 
 
+def test_sharded_chunked_stream(mesh, batch):
+    """Config-5 structure on the mesh: stream the batch through the
+    sharded verifier in chunks (per-shard elementwise accumulator, ONE
+    collective per job, one shared final exp) — accept AND tamper-reject
+    must match the one-shot sharded run."""
+    msgs, sks, hpts, sigs, pks, dev = batch
+    hx, hy, sx, sy, pqx, pqy, w = dev
+    run = BV.make_sharded_verifier(mesh, "batch")
+    assert bool(jax.device_get(
+        run(hx, hy, sx, sy, pqx, pqy, w, chunk=B // 2)
+    ))
+
+    sigs_bad = list(sigs)
+    sigs_bad[B - 2] = HC.g1_mul(hpts[B - 2], sks[1].scalar)
+    sxb, syb = CV.g1_batch_to_device_affine(sigs_bad)
+    assert not bool(jax.device_get(
+        run(hx, hy, sxb, syb, pqx, pqy, w, chunk=B // 2)
+    ))
+
+    with pytest.raises(InvalidLengthError):
+        run(hx, hy, sx, sy, pqx, pqy, w, chunk=B // 2 + 1)
+
+
 def test_adaptive_accept_and_fallback(batch):
     """verify_batch_adaptive: all-valid batch -> all-True via the RLC
     pre-check alone; tampered batch -> exact per-tuple fallback flags
