@@ -279,6 +279,12 @@ def main():
                              "fp12"],
                     help="adaptive (default headline): per-tuple bools "
                     "at fused-RLC cost with exact independent fallback")
+    ap.add_argument("--prewarm", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="parallel AOT pre-compile of the stage programs "
+                    "before the timed region (auto: only when the "
+                    "persistent cache looks cold; counted into "
+                    "cold_compile_s)")
     ap.add_argument("--pipeline", default="staged",
                     choices=["staged", "mono"],
                     help="staged: several small jitted programs (compiles "
@@ -457,7 +463,52 @@ def main():
             hx, hy, found, _ = _hash_jit(blocks, ctr_word, ctr_shift)
             return fn0(hx, hy, sx, sy, pqx, pqy, w), found
 
+        # Cold-start: on a fresh machine (empty persistent cache) the
+        # stage programs compile sequentially at first call and jit
+        # dispatch then RE-traces what an AOT warm-up already traced.
+        # dist/precompile.py fixes both: every stage is lowered ONCE
+        # (out_info chaining), compiled CONCURRENTLY (the compile
+        # service parallelizes — tools/probe_parallel_compile.py), and
+        # the measured fn then executes the Compiled handles DIRECTLY
+        # (same programs, zero retrace). Skipped when the cache is warm
+        # (jit dispatch loads cache entries in seconds) or for modes it
+        # doesn't cover. prewarm_s counts into cold_compile_s (honesty
+        # contract).
+        prewarm_s = 0.0
+        runner = None
+        if (
+            args.prewarm != "off"
+            and args.mode in ("adaptive", "fused")
+            and dev.platform == "tpu"
+        ):
+            from bn254_tpu.dist import precompile as PC
+
+            n_cached = PC.cache_entry_count()
+            if args.prewarm == "on" or n_cached < 8:
+                log(f"parallel AOT prewarm ({n_cached} cache entries)...")
+                prewarm_s, ptimes, runner = PC.prewarm_adaptive(
+                    B, k_candidates=K_CANDIDATES, workers=8, log=log
+                )
+                log(f"prewarm: {prewarm_s:.1f}s wall "
+                    f"(sum of stages {sum(ptimes.values()):.1f}s)")
+            else:
+                log(f"prewarm skipped (cache warm: {n_cached} entries)")
+
+        if runner is not None:
+            # direct-AOT path: identical stage programs, no retracing
+            if args.mode == "adaptive":
+
+                def fn():
+                    per, ok, found = runner(blocks, sx, sy, pqx, pqy, w)
+                    return per, found
+            else:
+
+                def fn():
+                    per, ok, found = runner(blocks, sx, sy, pqx, pqy, w)
+                    return ok, found
+
         cold, (ok0, found0) = measure_compile_and_first(fn)
+        cold += prewarm_s
         assert bool(np.asarray(found0).all()), \
             "device hash missed a message (raise K)"
         assert bool(np.asarray(ok0).all()), "fused benchmark batch failed!"
